@@ -1,0 +1,221 @@
+"""CDGS: 2D graph noise-prediction GNN, dense TPU-native.
+
+Re-design of the reference CDGS (models/cdgs.py:201-408): GPS-style hybrid
+blocks combining a local GINE-like message pass over the *discretised*
+adjacency with full-graph edge-gated attention, plus random-walk landing /
+shortest-path structural features. The reference's sparse GINE + PyG
+attention become dense masked matmuls; the adjacency-restricted local pass
+is the same dense kernel with the discretised adjacency as its mask.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.features import rw_spd_features, timestep_embedding
+from .layers import DenseTransMixLayer
+
+
+class DenseGINE(nn.Module):
+    """GINE message passing on a dense masked adjacency.
+
+    out_i = mlp(sum_j relu(h_j + e_ij)) over the discretised adjacency
+    (GINEConv semantics, used at models/cdgs.py:40-41).
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, h, edge_feat, adj):
+        msg = nn.relu(h[:, None, :, :] + edge_feat)  # [B, N, N, D]
+        agg = jnp.sum(msg * adj[..., None], axis=2)
+        # GIN aggregation includes the root term (1+eps)*h with eps=0 default
+        y = agg + h
+        y = nn.Dense(self.dim)(y)
+        y = nn.relu(y)
+        return nn.Dense(self.dim)(y)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm matching nn.GroupNorm(min(dim//4,32), dim, eps=1e-6)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        groups = min(self.dim // 4, 32)
+        return nn.GroupNorm(num_groups=groups, epsilon=1e-6)(x)
+
+
+class HybridMPBlock(nn.Module):
+    """Local GINE + full-graph edge-gated attention (models/cdgs.py:13-150)."""
+
+    dim: int
+    heads: int = 8
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, h, dense_edge, adj, edge_mask, node_mask, temb, deterministic=True):
+        b, n = h.shape[0], h.shape[1]
+        nm = node_mask[..., None]
+        h_in, e_in = h, dense_edge
+
+        if temb is not None:
+            t_act = nn.silu(temb)
+            h_edge = (dense_edge + nn.Dense(self.dim, name="t_edge")(t_act)[:, None, None, :]) * edge_mask[..., None]
+            h = (h + nn.Dense(self.dim, name="t_node")(t_act)[:, None, :]) * nm
+        else:
+            h_edge = dense_edge
+
+        outs = []
+        # local pass restricted to the discretised adjacency
+        h_local = DenseGINE(self.dim, name="local")(h, h_edge, adj) * nm
+        h_local = h_in + nn.Dropout(self.dropout)(h_local, deterministic=deterministic)
+        outs.append(GroupNorm32(self.dim, name="norm1_local")(h_local))
+
+        # full-graph attention (EdgeGateTransLayer == TransMix w/o extra heads)
+        h_attn = DenseTransMixLayer(
+            node_dim=self.dim,
+            heads=self.heads,
+            extra_heads=0,
+            dropout=self.dropout,
+            name="self_attn",
+        )(h, h_edge, edge_mask, None, deterministic)
+        h_attn = h_in + nn.Dropout(self.dropout)(h_attn, deterministic=deterministic)
+        outs.append(GroupNorm32(self.dim, name="norm1_attn")(h_attn))
+
+        h = sum(outs) * nm
+        h_pair = h[:, :, None, :] + h[:, None, :, :]
+
+        # FFNs
+        y = nn.Dense(self.dim * 2, name="ff1")(h)
+        y = nn.Dropout(self.dropout)(nn.relu(y), deterministic=deterministic)
+        y = nn.Dropout(self.dropout)(nn.Dense(self.dim, name="ff2")(y), deterministic=deterministic)
+        h = GroupNorm32(self.dim, name="norm2_node")(h + y) * nm
+
+        ye = nn.Dense(self.dim * 2, name="ff3")(h_pair)
+        ye = nn.Dropout(self.dropout)(nn.relu(ye), deterministic=deterministic)
+        ye = nn.Dropout(self.dropout)(nn.Dense(self.dim, name="ff4")(ye), deterministic=deterministic)
+        h_edge_out = GroupNorm32(self.dim, name="norm2_edge")(e_in + ye) * edge_mask[..., None]
+
+        return h, h_edge_out
+
+
+class CDGS(nn.Module):
+    """Conditional (time) Discrete-Graph-Structure noise predictor."""
+
+    atom_ch: int
+    bond_ch: int  # edge channels incl. exist channel
+    nf: int = 256
+    n_layers: int = 8
+    heads: int = 16
+    rw_depth: int = 8
+    dropout: float = 0.0
+    cond_time: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        t,
+        xh,
+        node_mask,
+        edge_mask,
+        edge_x,
+        noise_level=None,
+        cond_x=None,
+        cond_edge_x=None,
+        cond_flag=0.0,
+        context=None,
+        deterministic=True,
+    ):
+        del noise_level, cond_x, cond_edge_x, cond_flag, context
+        b, n, _ = xh.shape
+        nm = node_mask[..., None]
+        em = edge_mask[..., None]
+
+        edge_exist = edge_x[..., 0:1]
+        edge_cate = edge_x[..., 1:]
+
+        temb = timestep_embedding(t * 999, self.nf)
+        if self.cond_time:
+            temb = nn.Dense(self.nf * 2, name="temb_0")(temb)
+            temb = nn.Dense(self.nf, name="temb_1")(nn.silu(temb))
+        else:
+            temb = None
+
+        # discretise adjacency from the noisy exist channel (cdgs.py:322-327)
+        adj = jax.lax.stop_gradient(
+            (edge_exist[..., 0] >= 0.0).astype(xh.dtype) * edge_mask
+        )
+
+        rw_landing, spd_onehot = rw_spd_features(adj, self.rw_depth)
+
+        bond_se_ch = int(self.nf * 0.4)
+        bond_type_ch = int(0.5 * (self.nf - bond_se_ch))
+        atom_se_ch = int(self.nf * 0.2)
+        atom_type_ch = self.nf - 2 * atom_se_ch
+
+        dense_cate = nn.Dense(bond_type_ch, name="bond_cate_proj")(edge_cate) * em
+        dense_exist = nn.Dense(bond_type_ch, name="bond_exist_proj")(edge_exist) * em
+        dense_spd = nn.Dense(bond_se_ch, name="bond_spd_proj")(spd_onehot) * em
+        dense_edge = (
+            nn.Dense(self.nf, name="bond_in")(
+                jnp.concatenate([dense_cate, dense_exist, dense_spd], axis=-1)
+            )
+            * em
+        )
+
+        # degree feature over raw edge channels (cdgs.py:343-345)
+        atom_degree = nn.Dense(atom_se_ch, name="atom_degree_proj")(
+            jnp.sum(edge_x, axis=2)
+        )
+        atom_cate = nn.Dense(atom_type_ch, name="atom_cate_proj")(xh)
+        x_rwl = nn.Dense(atom_se_ch, name="atom_rwl_proj")(rw_landing)
+        h = nn.Dense(self.nf, name="atom_in")(
+            jnp.concatenate([atom_degree, atom_cate, x_rwl], axis=-1)
+        )
+
+        cat_dim = (self.nf * 2) // self.n_layers
+        atom_hids, bond_hids = [], []
+        h_edge = dense_edge
+        for i in range(self.n_layers):
+            h, h_edge = HybridMPBlock(
+                self.nf, self.heads, self.dropout, name=f"block_{i}"
+            )(h, h_edge, adj, edge_mask, node_mask, temb, deterministic)
+            atom_hids.append(nn.Dense(cat_dim, name=f"atom_skip_{i}")(h))
+            bond_hids.append(nn.Dense(cat_dim, name=f"bond_skip_{i}")(h_edge))
+
+        atom_hids = jnp.concatenate(atom_hids, axis=-1)
+        bond_hids = jnp.concatenate(bond_hids, axis=-1)
+
+        # heads (conv1x1 == Dense over the channel axis)
+        atom_score = nn.silu(
+            nn.Dense(self.nf, name="atom_out_0")(
+                jnp.concatenate([atom_cate, atom_hids], axis=-1)
+            )
+        ) * nm
+        atom_score = nn.silu(nn.Dense(self.nf // 2, name="atom_out_1")(atom_score))
+        atom_score = nn.Dense(self.atom_ch, name="atom_out_2")(atom_score)
+
+        bond_score = nn.silu(
+            nn.Dense(self.nf, name="bond_out_0")(
+                jnp.concatenate([dense_cate, bond_hids], axis=-1)
+            )
+        ) * em
+        bond_score = nn.silu(nn.Dense(self.nf // 2, name="bond_out_1")(bond_score))
+        bond_score = nn.Dense(self.bond_ch - 1, name="bond_out_2")(bond_score)
+
+        exist_score = nn.silu(
+            nn.Dense(self.nf, name="exist_out_0")(
+                jnp.concatenate([dense_exist, bond_hids], axis=-1)
+            )
+        ) * em
+        exist_score = nn.silu(nn.Dense(self.nf // 2, name="exist_out_1")(exist_score))
+        exist_score = nn.Dense(1, name="exist_out_2")(exist_score)
+
+        edge_score = jnp.concatenate([exist_score, bond_score], axis=-1)
+        edge_score = 0.5 * (edge_score + jnp.swapaxes(edge_score, 1, 2))
+
+        return atom_score * nm, edge_score * em

@@ -1,0 +1,404 @@
+"""Diffusion Graph Transformer family, dense TPU-native.
+
+One configurable flax module covers the reference's four DGT variants:
+  * DGT         <- DGT_concat        (mol_gnn.py:410-594)   equivariant=True,  extra heads
+  * CondDGT     <- Cond_DGT_concat   (mol_gnn.py:597-794)   + property context
+  * DGT2D       <- DGT_concat_2D     (mol_gnn.py:797-946)   equivariant=False
+  * DGTSim      <- DGT_concat_sim    (mol_gnn.py:949-1124)  extra_heads=0
+
+Forward contract (dense; the portability seam of SURVEY.md section 3.3):
+  inputs : t [B], xh [B,N,3+C] (or [B,N,C] in 2D), node_mask [B,N],
+           edge_mask [B,N,N], edge_x [B,N,N,E], noise_level [B],
+           cond_x / cond_edge_x (self-conditioning, zeros when absent),
+           cond_flag scalar {0.,1.} (whether cond_* carries a prediction),
+           context [B,P] (conditional models only)
+  outputs: (pred [B,N,3+C], edge_pred [B,N,N,E]) — CoM-free positions,
+           symmetric edges.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.masks import remove_mean_with_mask
+from ..ops.features import pairwise_sq_dist
+from .layers import (
+    GBF_LAYERS,
+    CoorsNorm,
+    DenseTransMixLayer,
+    GatedFFN,
+    TimeMLP,
+    layer_norm,
+    modulate,
+)
+
+
+class EquivariantCoordUpdate(nn.Module):
+    """Equivariant position update (MultiCondEquiUpdate, mol_gnn.py:51-94).
+
+    pos_i += sum_j coorsnorm(pos_i - pos_j) * mean_heads(tanh(mlp_ij) * adjs)
+    """
+
+    hidden_dim: int
+    extra_heads: int = 0
+
+    @nn.compact
+    def __call__(self, h, pos, edge_feat, dist_feat, edge_mask, time_emb, extra_adj):
+        b, n, _ = pos.shape
+        h_i = jnp.broadcast_to(h[:, :, None, :], (b, n, n, h.shape[-1]))
+        h_j = jnp.broadcast_to(h[:, None, :, :], (b, n, n, h.shape[-1]))
+        inp = jnp.concatenate([h_i, h_j, edge_feat, dist_feat], axis=-1)
+        inv = layer_norm(nn.Dense(self.hidden_dim, name="input_lin")(inp))
+        if time_emb is not None:
+            ss = nn.Dense(self.hidden_dim * 2, name="time_mlp")(nn.silu(time_emb))
+            shift, scale = jnp.split(ss, 2, axis=-1)
+            inv = modulate(inv, shift, scale)
+        inv = nn.Dense(self.hidden_dim, name="coord_mlp_0")(inv)
+        inv = nn.silu(inv)
+        inv = nn.Dense(1 + self.extra_heads, use_bias=False, name="coord_mlp_1")(inv)
+        inv = jnp.tanh(inv)
+
+        if self.extra_heads > 0 and extra_adj is not None:
+            if extra_adj.shape[-1] != self.extra_heads:
+                extra_adj = jnp.repeat(
+                    extra_adj, self.extra_heads // extra_adj.shape[-1], axis=-1
+                )
+            adjs = jnp.concatenate(
+                [jnp.ones_like(inv[..., :1]), extra_adj], axis=-1
+            )
+            inv = jnp.mean(inv * adjs, axis=-1, keepdims=True)
+        else:
+            inv = jnp.mean(inv, axis=-1, keepdims=True)
+
+        coord_diff = pos[:, :, None, :] - pos[:, None, :, :]
+        coord_diff = CoorsNorm(scale_init=1e-2, name="coord_norm")(coord_diff)
+        trans = coord_diff * inv * edge_mask[..., None]
+        return pos + jnp.sum(trans, axis=2)
+
+
+class DGTBlock(nn.Module):
+    """Equivariant(Mix)Block / EquivariantMixBlock_2D (mol_gnn.py:97-407).
+
+    adaLN-style 6-way time modulation for nodes and edges, edge-biased
+    attention, node->edge update, gated FFNs, optional equivariant position
+    update. The residual stream is re-normalised every block (the reference
+    applies norm2 *inside* the stream, mol_gnn.py:307-317).
+    """
+
+    node_dim: int
+    edge_dim: int
+    heads: int
+    extra_heads: int
+    cond_time: bool
+    dist_gbf: bool
+    softmax_inf: bool
+    equivariant: bool = True
+    mlp_ratio: int = 2
+    dropout: float = 0.0
+    gbf_name: str = "CondGaussianLayer"
+
+    @nn.compact
+    def __call__(
+        self,
+        pos,
+        h,
+        edge_attr,
+        node_mask,
+        edge_mask,
+        extra_adj=None,
+        node_time_emb=None,
+        edge_time_emb=None,
+        deterministic=True,
+    ):
+        h_in, e_in = h, edge_attr
+        dist_feat = None
+
+        if self.equivariant:
+            sq_dist = pairwise_sq_dist(pos)[..., None]  # [B,N,N,1]
+            if self.dist_gbf:
+                dist_dim = self.edge_dim
+                dist_feat = GBF_LAYERS[self.gbf_name](dist_dim, name="dist_layer")(
+                    sq_dist, edge_time_emb
+                )
+            else:
+                dist_feat = sq_dist
+            edge_attr = nn.Dense(self.edge_dim, name="edge_emb")(
+                jnp.concatenate([dist_feat, edge_attr], axis=-1)
+            )
+
+        if self.cond_time:
+            n_mod = nn.Dense(self.node_dim * 6, name="node_time_mlp")(
+                nn.silu(node_time_emb)
+            )
+            e_mod = nn.Dense(self.edge_dim * 6, name="edge_time_mlp")(
+                nn.silu(edge_time_emb)
+            )
+            (ns_msa, nsc_msa, ng_msa, ns_mlp, nsc_mlp, ng_mlp) = jnp.split(n_mod, 6, -1)
+            (es_msa, esc_msa, eg_msa, es_mlp, esc_mlp, eg_mlp) = jnp.split(e_mod, 6, -1)
+            h = modulate(layer_norm(h), ns_msa, nsc_msa)
+            edge_attr = modulate(layer_norm(edge_attr), es_msa, esc_msa)
+        else:
+            h = layer_norm(h)
+            edge_attr = layer_norm(edge_attr)
+
+        h_node = DenseTransMixLayer(
+            node_dim=self.node_dim,
+            heads=self.heads,
+            extra_heads=self.extra_heads,
+            softmax_inf=self.softmax_inf,
+            dropout=self.dropout,
+            name="attn",
+        )(h, edge_attr, edge_mask, extra_adj, deterministic)
+
+        h_edge = nn.Dense(self.edge_dim, name="node2edge_lin")(
+            h_node[:, :, None, :] + h_node[:, None, :, :]
+        )
+
+        nm = node_mask[..., None]
+        if self.cond_time:
+            h_node = h_in + modulate_gate(ng_msa, h_node)
+            h_node = modulate(layer_norm(h_node), ns_mlp, nsc_mlp) * nm
+            h_out = (
+                h_node
+                + modulate_gate(
+                    ng_mlp,
+                    GatedFFN(self.node_dim, self.mlp_ratio, self.dropout, name="ff_node")(
+                        h_node, deterministic
+                    ),
+                )
+            ) * nm
+            h_edge = e_in + modulate_gate(eg_msa, h_edge, pair=True)
+            h_edge = modulate(layer_norm(h_edge), es_mlp, esc_mlp)
+            e_out = h_edge + modulate_gate(
+                eg_mlp,
+                GatedFFN(self.edge_dim, self.mlp_ratio, self.dropout, name="ff_edge")(
+                    h_edge, deterministic
+                ),
+                pair=True,
+            )
+        else:
+            h_node = h_in + h_node
+            h_node = layer_norm(h_node) * nm
+            h_out = (
+                h_node
+                + GatedFFN(self.node_dim, self.mlp_ratio, self.dropout, name="ff_node")(
+                    h_node, deterministic
+                )
+            ) * nm
+            h_edge = e_in + h_edge
+            h_edge = layer_norm(h_edge)
+            e_out = h_edge + GatedFFN(
+                self.edge_dim, self.mlp_ratio, self.dropout, name="ff_edge"
+            )(h_edge, deterministic)
+
+        if self.equivariant:
+            pos = EquivariantCoordUpdate(
+                self.node_dim, self.extra_heads, name="equi_update"
+            )(h_out, pos, e_out, dist_feat, edge_mask, edge_time_emb, extra_adj)
+
+        return h_out, e_out, pos
+
+
+def modulate_gate(gate, x, pair=False):
+    """Per-graph gate [B,D] applied to node [B,N,D] or pair [B,N,N,D]."""
+    g = gate[:, None, None, :] if pair else gate[:, None, :]
+    return g * x
+
+
+class DGT(nn.Module):
+    """Joint 2D+3D Diffusion Graph Transformer (reference DGT_concat family).
+
+    Set `equivariant=False` for the 2D variant, `extra_heads=0` for the
+    `sim` variant, `cond_ch>0` for the property-conditional variant.
+    """
+
+    in_node_dim: int  # atom_types (+1 if formal charges)
+    edge_ch: int
+    hidden_dim: int = 256
+    n_layers: int = 8
+    heads: int = 16
+    extra_heads: int = 2
+    cond_time: bool = True
+    dist_gbf: bool = True
+    gbf_name: str = "CondGaussianLayer"
+    softmax_inf: bool = True
+    pred_data: bool = True
+    com_each_layer: bool = True
+    mlp_ratio: int = 2
+    dropout: float = 0.0
+    spatial_cut_off: float = 2.0
+    edge_quan_th: float = 0.0
+    equivariant: bool = True
+    time_dim: int = 0  # 0 => hidden_dim * 4
+    cond_ch: int = 0  # number of conditional properties
+
+    @nn.compact
+    def __call__(
+        self,
+        t,
+        xh,
+        node_mask,
+        edge_mask,
+        edge_x,
+        noise_level,
+        cond_x=None,
+        cond_edge_x=None,
+        cond_flag=0.0,
+        context=None,
+        deterministic=True,
+    ):
+        b, n = xh.shape[0], xh.shape[1]
+        edge_hidden = self.hidden_dim // 4
+        time_dim = self.time_dim or self.hidden_dim * 4
+        dist_dim = edge_hidden if self.dist_gbf else 1
+
+        if cond_x is None:
+            cond_x = jnp.zeros_like(xh)
+        if cond_edge_x is None:
+            cond_edge_x = jnp.zeros_like(edge_x)
+        cond_flag = jnp.asarray(cond_flag, dtype=xh.dtype)
+
+        if self.equivariant:
+            pos = xh[:, :, :3]
+            h = xh[:, :, 3:]
+            cond_pos = cond_x[:, :, :3]
+            cond_h = cond_x[:, :, 3:]
+        else:
+            pos = None
+            h = xh
+            cond_pos = None
+            cond_h = cond_x
+
+        # self-conditioning adjacency channel (mol_gnn.py:517-525):
+        # ones when no self-cond prediction, thresholded edge-exist otherwise.
+        cond_adj_2d = jnp.where(
+            cond_flag > 0,
+            (cond_edge_x[..., 0:1] >= self.edge_quan_th).astype(xh.dtype),
+            jnp.ones_like(cond_edge_x[..., 0:1]),
+        )
+
+        # concat self-cond node features (the "_concat" in DGT_concat)
+        h = jnp.concatenate([h, cond_h], axis=-1)
+
+        # property context folded into the time embedding (mol_gnn.py:728-737)
+        ctx_emb = None
+        if self.cond_ch > 0 and context is not None:
+            c = context[..., None]  # [B, P, 1]
+            c = nn.Dense(self.hidden_dim, name="cond_mlp_0")(c)
+            c = nn.gelu(c)
+            c = nn.Dense(self.hidden_dim, name="cond_mlp_1")(c)
+            ctx_emb = nn.Dense(time_dim, name="cond_lin")(c.reshape(b, -1))
+
+        if self.cond_time:
+            time_emb = TimeMLP(time_dim, name="time_mlp")(noise_level)
+            if ctx_emb is not None:
+                time_emb = time_emb + ctx_emb
+            node_time_emb = time_emb
+            edge_time_emb = time_emb
+        else:
+            node_time_emb = edge_time_emb = None
+
+        if self.equivariant:
+            # distances from the self-cond positions (mol_gnn.py:543-548);
+            # all-zero distances (no self-cond yet) bypass the GBF expansion
+            sq = pairwise_sq_dist(cond_pos)[..., None] * edge_mask[..., None]
+            cond_adj_spatial = (
+                (sq[..., 0] <= self.spatial_cut_off).astype(xh.dtype) * edge_mask
+            )[..., None]
+            all_zero = jnp.sum(sq) == 0.0
+            if self.dist_gbf:
+                gbf_feat = GBF_LAYERS[self.gbf_name](dist_dim, name="dist_layer")(
+                    sq, edge_time_emb
+                )
+            else:
+                gbf_feat = sq
+            dist_feat = jnp.where(
+                all_zero, jnp.zeros((b, n, n, dist_dim), xh.dtype), gbf_feat
+            )
+            extra_adj = jnp.concatenate([cond_adj_2d, cond_adj_spatial], axis=-1)
+            edge_attr = jnp.concatenate([edge_x, cond_edge_x, dist_feat], axis=-1)
+        else:
+            extra_adj = cond_adj_2d
+            edge_attr = jnp.concatenate([edge_x, cond_edge_x], axis=-1)
+
+        if self.extra_heads == 0:
+            extra_adj = None
+
+        h = nn.Dense(self.hidden_dim, name="node_emb")(h)
+        edge_attr = nn.Dense(edge_hidden, name="edge_emb")(edge_attr)
+
+        cat_node_dim = (self.hidden_dim * 2) // self.n_layers
+        cat_edge_dim = (edge_hidden * 2) // self.n_layers
+        atom_hids = [h]
+        edge_hids = [edge_attr]
+
+        for i in range(self.n_layers):
+            h, edge_attr, pos = DGTBlock(
+                node_dim=self.hidden_dim,
+                edge_dim=edge_hidden,
+                heads=self.heads,
+                extra_heads=self.extra_heads,
+                cond_time=self.cond_time,
+                dist_gbf=self.dist_gbf,
+                softmax_inf=self.softmax_inf,
+                equivariant=self.equivariant,
+                mlp_ratio=self.mlp_ratio,
+                dropout=self.dropout,
+                gbf_name=self.gbf_name,
+                name=f"e_block_{i}",
+            )(
+                pos,
+                h,
+                edge_attr,
+                node_mask,
+                edge_mask,
+                extra_adj,
+                node_time_emb,
+                edge_time_emb,
+                deterministic,
+            )
+            if self.equivariant and self.com_each_layer:
+                pos = remove_mean_with_mask(pos, node_mask)
+            atom_hids.append(nn.Dense(cat_node_dim, name=f"node_{i}")(h))
+            edge_hids.append(nn.Dense(cat_edge_dim, name=f"edge_{i}")(edge_attr))
+
+        atom_cat = jnp.concatenate(atom_hids, axis=-1)
+        edge_cat = jnp.concatenate(edge_hids, axis=-1)
+
+        atom_pred = _readout_mlp(
+            atom_cat, self.hidden_dim, self.in_node_dim, name="node_pred_mlp"
+        ) * node_mask[..., None]
+        edge_exist = _readout_mlp(edge_cat, edge_hidden, 1, name="edge_exist_mlp")
+        edge_type = _readout_mlp(
+            edge_cat, edge_hidden, self.edge_ch - 1, name="edge_type_mlp"
+        )
+        edge_pred = jnp.concatenate([edge_exist, edge_type], axis=-1)
+        edge_pred = edge_pred * edge_mask[..., None]
+        edge_pred = 0.5 * (edge_pred + jnp.swapaxes(edge_pred, 1, 2))
+
+        if not self.equivariant:
+            return atom_pred, edge_pred
+
+        nm = node_mask[..., None]
+        if self.pred_data:
+            pos = pos * nm
+        else:
+            pos = (pos - xh[:, :, :3]) * nm
+        # NaN guard (mol_gnn.py:587-589): zero the positions if non-finite
+        finite = jnp.all(jnp.isfinite(pos))
+        pos = jnp.where(finite, pos, jnp.zeros_like(pos))
+        pos = remove_mean_with_mask(pos, node_mask)
+        return jnp.concatenate([pos, atom_pred], axis=2), edge_pred
+
+
+def _readout_mlp(x, hidden, out_dim, name):
+    """Skip-concat readout head (mol_gnn.py:459-479)."""
+    y = nn.Dense(hidden, name=f"{name}_0")(x)
+    y = nn.silu(y)
+    y = nn.Dense(hidden // 2, name=f"{name}_1")(y)
+    y = nn.silu(y)
+    return nn.Dense(out_dim, name=f"{name}_2")(y)

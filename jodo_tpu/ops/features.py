@@ -1,0 +1,75 @@
+"""Dense structural features: pairwise distances, spatial adjacency,
+random-walk / shortest-path-distance encodings.
+
+The reference computes these per-edge over sparse indices
+(models/utils.py:102-165, models/cdgs.py:159-183); here they are dense
+batched [B,N,N] tensors — the natural TPU formulation (batched matmuls on
+the MXU for the random-walk powers, no gathers).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "pairwise_sq_dist",
+    "spatial_adjacency",
+    "rw_spd_features",
+    "timestep_embedding",
+]
+
+
+def pairwise_sq_dist(pos: jnp.ndarray) -> jnp.ndarray:
+    """[B,N,3] -> squared distances [B,N,N].
+
+    The reference's `coord2dist` radial is the *squared* distance
+    (models/utils.py:122-126); kept squared here for exact parity.
+    """
+    diff = pos[:, :, None, :] - pos[:, None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def spatial_adjacency(sq_dist: jnp.ndarray, cutoff: float) -> jnp.ndarray:
+    """1 where squared distance <= cutoff (reference coord2diff_adj,
+    models/utils.py:111-119). Caller masks out diagonal/padding."""
+    return (sq_dist <= cutoff).astype(jnp.float32)
+
+
+def rw_spd_features(adj: jnp.ndarray, k_step: int):
+    """k-step random-walk landing probabilities + shortest-path one-hots.
+
+    adj [B,N,N] (dense, possibly weighted {0,1}). Returns:
+      rw_landing [B, N, k_step]   diagonal of AD^t for t=2..k+1
+      spd_onehot [B, N, N, k+1]   one-hot of #{t : (AD^t)_ij <= 0}
+    Matches reference get_rw_feat (models/cdgs.py:159-183) but expressed as
+    k batched matmuls (MXU) instead of bmm over a Python list.
+    """
+    deg = jnp.sum(adj, axis=-1, keepdims=True)
+    ad = adj / (deg + 1e-8)
+
+    def step(carry, _):
+        rw = jnp.einsum("bij,bjk->bik", carry, ad)
+        return rw, rw
+
+    _, rws = jax.lax.scan(step, ad, None, length=k_step)
+    rw_map = jnp.moveaxis(rws, 0, 1)  # [B, k_step, N, N]
+
+    rw_landing = jnp.diagonal(rw_map, axis1=2, axis2=3)  # [B, k_step, N]
+    rw_landing = jnp.moveaxis(rw_landing, 1, 2)  # [B, N, k_step]
+
+    spd_ind = jnp.sum((rw_map <= 0).astype(jnp.int32), axis=1)  # [B,N,N]
+    spd_onehot = jax.nn.one_hot(spd_ind, k_step + 1, dtype=jnp.float32)
+    return rw_landing, spd_onehot
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_positions: int = 10000):
+    """Sinusoidal DDPM-style embedding (reference models/cdgs.py:187-198)."""
+    half = dim // 2
+    emb = jnp.log(max_positions) / (half - 1)
+    emb = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -emb)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
