@@ -103,7 +103,11 @@ GBF_LAYERS = {"GaussianLayer": GaussianLayer, "CondGaussianLayer": CondGaussianL
 
 
 class CoorsNorm(nn.Module):
-    """Normalise coordinate differences to unit length * learned scale."""
+    """Normalise coordinate differences to unit length * learned scale.
+
+    Gradient-safe at exactly-zero vectors (the dense formulation feeds the
+    i==i diagonal pairs through here; sqrt'(0) would poison the backward
+    pass even though the forward is masked out downstream)."""
 
     eps: float = 1e-8
     scale_init: float = 1e-2
@@ -113,8 +117,9 @@ class CoorsNorm(nn.Module):
         scale = self.param(
             "scale", lambda *_: jnp.full((1,), self.scale_init, jnp.float32)
         )
-        norm = jnp.linalg.norm(coors, axis=-1, keepdims=True)
-        return coors / jnp.maximum(norm, self.eps) * scale
+        norm_sq = jnp.sum(coors * coors, axis=-1, keepdims=True)
+        norm = jnp.sqrt(jnp.maximum(norm_sq, self.eps * self.eps))
+        return coors / norm * scale
 
 
 def masked_pair_softmax(logits, edge_mask):

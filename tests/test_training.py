@@ -1,0 +1,126 @@
+"""Train step: loss decreases, EMA tracks, adaptive clip, checkpoint RT."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jodo_tpu.configs import get_config
+from jodo_tpu.diffusion import NoiseSchedule
+from jodo_tpu.losses import make_loss_fn
+from jodo_tpu.models import create_model
+from jodo_tpu.ops import masks_from_counts, remove_mean_with_mask
+from jodo_tpu.training import (
+    TrainState,
+    adaptive_clip,
+    ema_update,
+    init_clip_state,
+    make_optimizer,
+    make_train_step,
+)
+
+B, N = 4, 8
+
+
+def tiny_cfg():
+    cfg = get_config("qm9_uncond_jodo")
+    cfg.model.nf = 32
+    cfg.model.n_layers = 2
+    cfg.model.n_heads = 4
+    cfg.model.dropout = 0.0
+    cfg.optim.warmup = 2
+    return cfg
+
+
+def make_batch(key):
+    k1, k2 = jax.random.split(key)
+    nm, em = masks_from_counts(jnp.asarray([5, 8, 3, 6]), N)
+    xh = jax.random.normal(k1, (B, N, 9)) * nm[..., None]
+    xh = xh.at[:, :, :3].set(remove_mean_with_mask(xh[:, :, :3], nm))
+    ex = jax.random.normal(k2, (B, N, N, 2))
+    ex = 0.5 * (ex + jnp.swapaxes(ex, 1, 2)) * em[..., None]
+    return {"xh": xh, "edge_x": ex, "node_mask": nm, "edge_mask": em}
+
+
+def test_train_step_reduces_loss():
+    cfg = tiny_cfg()
+    model = create_model(cfg)
+    schedule = NoiseSchedule.create(cfg.sde.schedule)
+    loss_fn = make_loss_fn(schedule, cfg)
+    tx = make_optimizer(cfg)
+
+    batch = make_batch(jax.random.PRNGKey(0))
+    params = model.init(
+        jax.random.PRNGKey(1),
+        jnp.full((B,), 0.5), batch["xh"], batch["node_mask"], batch["edge_mask"],
+        batch["edge_x"], jnp.zeros((B,)),
+    )
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, loss_fn, tx, cfg.model.ema_decay, cfg.optim.grad_clip,
+                           donate=False)
+
+    losses = []
+    key = jax.random.PRNGKey(2)
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 30
+    # same-batch overfit: average of last 5 well below first 5
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9
+    assert np.isfinite(losses).all()
+
+
+def test_ema_update_warmup_decay():
+    ema = {"w": jnp.ones((3,))}
+    p = {"w": jnp.zeros((3,))}
+    # early: effective decay = (1+1)/(10+1) = 2/11
+    out = ema_update(ema, p, decay=0.999, num_updates=1)
+    np.testing.assert_allclose(np.asarray(out["w"]), 2.0 / 11.0, rtol=1e-5)
+    # late: effective decay = 0.999
+    out = ema_update(ema, p, decay=0.999, num_updates=100000)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.999, rtol=1e-5)
+
+
+def test_adaptive_clip_behaviour():
+    grads = {"w": jnp.full((4,), 10.0)}  # norm 20
+    cs = init_clip_state()
+    # queue has [3000]: threshold = min(1.5*3000, 10) = 10 -> scale 0.5
+    clipped, cs2, norm = adaptive_clip(grads, cs, max_grad=10.0)
+    np.testing.assert_allclose(float(norm), 20.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(clipped["w"]), 5.0, rtol=1e-4)
+    assert int(cs2.count) == 2
+    # pushed value is the clipped threshold (10), not the raw norm
+    assert float(cs2.buffer[1]) == 10.0
+    # plain clip path when max_grad <= 1
+    clipped2, cs3, _ = adaptive_clip(grads, cs, max_grad=1.0)
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(clipped2["w"])), 1.0, rtol=1e-4
+    )
+    assert int(cs3.count) == int(cs.count)  # queue untouched
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from jodo_tpu.training import CheckpointManager
+
+    cfg = tiny_cfg()
+    model = create_model(cfg)
+    tx = make_optimizer(cfg)
+    batch = make_batch(jax.random.PRNGKey(0))
+    params = model.init(
+        jax.random.PRNGKey(1),
+        jnp.full((B,), 0.5), batch["xh"], batch["node_mask"], batch["edge_mask"],
+        batch["edge_x"], jnp.zeros((B,)),
+    )
+    state = TrainState.create(params, tx)
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save_meta(state)
+    restored = mgr.restore_meta(state)
+    chex_eq = jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        state.params, restored.params,
+    )
+    del chex_eq
+    mgr.save_numbered(state, 3)
+    assert mgr.available_checkpoints() == [3]
+    restored2 = mgr.restore_numbered(state, 3)
+    assert int(restored2.step) == 0
