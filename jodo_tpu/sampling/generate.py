@@ -1,0 +1,185 @@
+"""Generation orchestration: rounds of jit-compiled sampling + host decode.
+
+Replaces the reference's get_sampling_fn / get_cond_sampling_eval_fn
+(sampling.py:148-514). TPU-first differences:
+  * static [B, N_pad] shapes (one compile for all rounds) — masks are built
+    on device from the sampled atom counts instead of host Python loops
+  * the entire reverse chain + discretisation is one jitted function;
+    only the final padded integer tensors cross to the host
+  * node counts / property contexts are pre-sampled per round on host,
+    exactly like the reference's nodes_dist.sample (sampling.py:179)
+"""
+
+from __future__ import annotations
+
+import random as pyrandom
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses import make_self_cond_clamp
+from ..ops import (
+    DataScaler,
+    combined_position_feature_noise,
+    gaussian_with_mask,
+    masks_from_counts,
+    symmetric_edge_noise,
+)
+from ..training.step import make_apply_fn
+from .ancestral import AncestralCoeffs, ancestral_sample, ancestral_sample_2d
+from .dpm_solver import DPMSolverCoeffs, dpm_solver_sample
+from .postprocess import mol_process, mol_process_2d, post_process, post_process_2d
+
+__all__ = ["make_round_fn", "make_sampling_fn", "make_cond_sampling_eval_fn"]
+
+
+def make_round_fn(config, schedule, model, pad_n: int, eps: float = 1e-3) -> Callable:
+    """Build round_fn(params, key, n_nodes [B], context?) -> decoded padded
+    tensors; jit-compiled once for the static (B, pad_n) shape."""
+    atom_types = config.data.atom_types
+    include_fc = bool(config.model.include_fc_charge)
+    node_nf = atom_types + int(include_fc)
+    edge_nf = config.model.edge_ch
+    compress_edge = bool(config.data.compress_edge)
+    self_cond = bool(config.model.self_cond)
+    only_2d = bool(config.only_2D)
+    pred_data = bool(config.model.pred_data)
+    steps = int(config.sampling.steps)
+    method = config.sampling.method
+    scaler = DataScaler.from_config(config)
+    cond_process_fn = make_self_cond_clamp(config)
+
+    if method == "ancestral":
+        coeffs = AncestralCoeffs.create(schedule, steps, pred_data, eps)
+    elif method == "fast":
+        coeffs = DPMSolverCoeffs.create(
+            schedule,
+            steps,
+            order=int(config.sampling.dpm_solver_order),
+            method=config.sampling.dpm_solver_method,
+        )
+    else:
+        raise ValueError("Invalid sampling method!")
+
+    bind = make_apply_fn(model, train=False)
+
+    def round_fn(params, key, n_nodes, context=None):
+        b = n_nodes.shape[0]
+        nm, em = masks_from_counts(n_nodes, pad_n)
+        k_node, k_edge, k_chain = jax.random.split(key, 3)
+        model_fn = bind(params)
+
+        if only_2d:
+            z = gaussian_with_mask(k_node, (b, pad_n, node_nf), nm)
+            edge_z = symmetric_edge_noise(k_edge, b, pad_n, edge_nf, em)
+            x, edge_x = ancestral_sample_2d(
+                model_fn, coeffs, k_chain, z, edge_z, nm, em, context, self_cond
+            )
+            one_hot, fc, edge_types = post_process_2d(
+                x, atom_types, include_fc, nm, scaler, edge_x, em, compress_edge
+            )
+            return one_hot, fc, edge_types, nm, em
+
+        z = combined_position_feature_noise(k_node, b, pad_n, node_nf, nm)
+        edge_z = symmetric_edge_noise(k_edge, b, pad_n, edge_nf, em)
+        if method == "fast":
+            x, edge_x = dpm_solver_sample(
+                model_fn, coeffs, k_chain, z, edge_z, nm, em, context,
+                cond_process_fn,
+            )
+        else:
+            x, edge_x = ancestral_sample(
+                model_fn, coeffs, k_chain, z, edge_z, nm, em, context,
+                self_cond, cond_process_fn,
+            )
+        pos, one_hot, fc, edge_types = post_process(
+            x, atom_types, include_fc, nm, scaler, edge_x, em, compress_edge
+        )
+        return pos, one_hot, fc, edge_types, nm, em
+
+    return jax.jit(round_fn)
+
+
+def make_sampling_fn(
+    config, schedule, model, nodes_dist, batch_size: int, n_samples: int,
+    pad_n: int, prop_dist=None,
+) -> Callable:
+    """sampling_fn(params, seed) -> list of decoded molecule tuples."""
+    only_2d = bool(config.only_2D)
+    round_fn = make_round_fn(config, schedule, model, pad_n)
+    num_rounds = int(np.ceil(n_samples / batch_size))
+
+    def sampling_fn(params, seed: int = 0, progress_cb=None):
+        key = jax.random.PRNGKey(seed)
+        n_nodes_all = nodes_dist.sample(num_rounds * batch_size)
+        mols: List = []
+        for r in range(num_rounds):
+            key, sub = jax.random.split(key)
+            n_nodes = n_nodes_all[r * batch_size : (r + 1) * batch_size]
+            context = None
+            if prop_dist is not None:
+                context = jnp.asarray(prop_dist.sample_batch(n_nodes))
+            out = round_fn(params, sub, jnp.asarray(n_nodes), context)
+            if only_2d:
+                one_hot, fc, edge_types, nm, em = out
+                mols += mol_process_2d(one_hot, fc, n_nodes, edge_types)
+            else:
+                pos, one_hot, fc, edge_types, nm, em = out
+                mols += mol_process(one_hot, pos, fc, n_nodes, edge_types)
+            if progress_cb is not None:
+                progress_cb(len(mols), n_samples)
+        pyrandom.shuffle(mols)
+        return mols[:n_samples]
+
+    return sampling_fn
+
+
+def make_cond_sampling_eval_fn(
+    config, schedule, model, nodes_dist, batch_size: int, n_samples: int,
+    pad_n: int, prop_dist, prop_norm, classifier_fns,
+) -> Callable:
+    """Conditional generation + frozen-classifier property MAE
+    (reference sampling.py:283-514).
+
+    classifier_fns: list of callables (one_hot, pos, nm, em) -> [B] predicted
+    property values (normalised space handled by mean/mad below).
+    Returns sampling_fn(params, seed) -> (mols, [mae_1, ...]).
+    """
+    properties = list(prop_norm.keys())
+    means = [prop_norm[p]["mean"] for p in properties]
+    mads = [prop_norm[p]["mad"] for p in properties]
+    output_norm = {"mu": 1.0, "alpha": 1.0, "homo": 1000.0, "lumo": 1000.0,
+                   "gap": 1000.0, "Cv": 1.0}
+    round_fn = make_round_fn(config, schedule, model, pad_n)
+    num_rounds = int(np.ceil(n_samples / batch_size))
+
+    def sampling_fn(params, seed: int = 0, progress_cb=None):
+        key = jax.random.PRNGKey(seed)
+        n_nodes_all = nodes_dist.sample(num_rounds * batch_size)
+        mols: List = []
+        mae_acc = [[] for _ in classifier_fns]
+        for r in range(num_rounds):
+            key, sub = jax.random.split(key)
+            n_nodes = n_nodes_all[r * batch_size : (r + 1) * batch_size]
+            context = jnp.asarray(prop_dist.sample_batch(n_nodes))
+            pos, one_hot, fc, edge_types, nm, em = round_fn(
+                params, sub, jnp.asarray(n_nodes), context
+            )
+            for i, clf in enumerate(classifier_fns):
+                pred = np.asarray(clf(one_hot, pos, nm, em))
+                target = np.asarray(context[:, i]) * mads[i] + means[i]
+                pred = pred * mads[i] + means[i]
+                mae_acc[i].append(np.abs(pred - target))
+            mols += mol_process(one_hot, pos, fc, n_nodes, edge_types)
+            if progress_cb is not None:
+                progress_cb(len(mols), n_samples)
+        maes = [
+            float(np.concatenate(acc)[:n_samples].mean())
+            * output_norm.get(properties[i], 1.0)
+            for i, acc in enumerate(mae_acc)
+        ]
+        return mols[:n_samples], maes
+
+    return sampling_fn

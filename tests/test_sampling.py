@@ -1,0 +1,161 @@
+"""Samplers: coefficient math vs hand formulas, full chains, decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jodo_tpu.configs import get_config
+from jodo_tpu.diffusion import NoiseSchedule
+from jodo_tpu.models import create_model
+from jodo_tpu.models.node_distribution import DistributionNodes
+from jodo_tpu.ops import DataScaler, masks_from_counts
+from jodo_tpu.sampling import (
+    AncestralCoeffs,
+    DPMSolverCoeffs,
+    make_sampling_fn,
+    post_process,
+)
+
+B, N = 4, 8
+
+
+def tiny_cfg(steps=6, method="ancestral"):
+    cfg = get_config("qm9_uncond_jodo")
+    cfg.model.nf = 32
+    cfg.model.n_layers = 2
+    cfg.model.n_heads = 4
+    cfg.model.dropout = 0.0
+    cfg.sampling.steps = steps
+    cfg.sampling.method = method
+    return cfg
+
+
+def test_ancestral_coeffs_match_formulas():
+    sch = NoiseSchedule.create("cosine")
+    c = AncestralCoeffs.create(sch, steps=10, pred_data=True, eps=1e-3)
+    # step 3: verify against the direct posterior formulas (sampling.py:538-545)
+    i = 3
+    t = np.linspace(sch.T, 1e-3, 10)
+    s = np.concatenate([t[1:], [0.0]])
+    a_t, s_t = [np.asarray(v) for v in sch.marginal_prob(jnp.asarray(t[i], jnp.float32))]
+    a_s, s_s = [np.asarray(v) for v in sch.marginal_prob(jnp.asarray(s[i], jnp.float32))]
+    a_ts = a_t / a_s
+    s2_ts = s_t**2 - a_ts**2 * s_s**2
+    np.testing.assert_allclose(float(c.coef_x[i]), a_ts * s_s**2 / s_t**2, rtol=1e-4)
+    np.testing.assert_allclose(float(c.coef_pred[i]), a_s * s2_ts / s_t**2, rtol=1e-4)
+    np.testing.assert_allclose(
+        float(c.sigma[i]), np.sqrt(s2_ts) * s_s / s_t, rtol=1e-4
+    )
+    # noise-prediction variant
+    c2 = AncestralCoeffs.create(sch, steps=10, pred_data=False, eps=1e-3)
+    np.testing.assert_allclose(float(c2.coef_x[i]), 1.0 / a_ts, rtol=1e-4)
+    np.testing.assert_allclose(
+        float(c2.coef_pred[i]), -s2_ts / a_ts / s_t, rtol=1e-4
+    )
+
+
+def _setup_model(cfg):
+    model = create_model(cfg)
+    nm, em = masks_from_counts(jnp.asarray([5, 8, 3, 6]), N)
+    xh = jax.random.normal(jax.random.PRNGKey(0), (B, N, 9)) * nm[..., None]
+    ex = jax.random.normal(jax.random.PRNGKey(1), (B, N, N, 2)) * em[..., None]
+    params = model.init(
+        jax.random.PRNGKey(2), jnp.full((B,), 0.5), xh, nm, em, ex, jnp.zeros((B,))
+    )
+    return model, params
+
+
+def test_full_sampling_pipeline_ancestral():
+    cfg = tiny_cfg(steps=6)
+    model, params = _setup_model(cfg)
+    sch = NoiseSchedule.create(cfg.sde.schedule)
+    nodes_dist = DistributionNodes({5: 1, 6: 2, 7: 3, 8: 1})
+    fn = make_sampling_fn(cfg, sch, model, nodes_dist, batch_size=B, n_samples=6, pad_n=N)
+    mols = fn(params, seed=0)
+    assert len(mols) == 6
+    for pos, atom_type, edge_type, fc in mols:
+        n = len(atom_type)
+        assert pos.shape == (n, 3)
+        assert edge_type.shape == (n, n)
+        assert fc.shape == (n,)
+        # positions CoM-free
+        np.testing.assert_allclose(pos.sum(0), 0.0, atol=1e-3)
+        # edges symmetric, integer-valued in range
+        np.testing.assert_array_equal(edge_type, edge_type.T)
+        assert edge_type.min() >= 0 and edge_type.max() <= 4
+        assert set(np.unique(atom_type)).issubset(set(range(5)))
+
+
+def test_full_sampling_pipeline_dpm():
+    cfg = tiny_cfg(steps=6, method="fast")
+    cfg.sampling.dpm_solver_order = 2
+    model, params = _setup_model(cfg)
+    sch = NoiseSchedule.create(cfg.sde.schedule)
+    nodes_dist = DistributionNodes({5: 1, 6: 2, 7: 3, 8: 1})
+    fn = make_sampling_fn(cfg, sch, model, nodes_dist, batch_size=B, n_samples=4, pad_n=N)
+    mols = fn(params, seed=0)
+    assert len(mols) == 4
+    for pos, atom_type, edge_type, fc in mols:
+        assert np.isfinite(pos).all()
+        np.testing.assert_allclose(pos.sum(0), 0.0, atol=1e-3)
+
+
+def test_dpm_orders_and_multistep_run():
+    sch = NoiseSchedule.create("cosine")
+    for order, method in [(1, "singlestep_fixed"), (3, "singlestep_fixed"), (2, "multistep")]:
+        cfg = tiny_cfg(steps=6, method="fast")
+        cfg.sampling.dpm_solver_order = order
+        cfg.sampling.dpm_solver_method = method
+        model, params = _setup_model(cfg)
+        nodes_dist = DistributionNodes({6: 1})
+        fn = make_sampling_fn(cfg, sch, model, nodes_dist, batch_size=B, n_samples=4, pad_n=N)
+        mols = fn(params, seed=1)
+        assert len(mols) == 4
+        assert all(np.isfinite(m[0]).all() for m in mols)
+
+
+def test_sampling_2d():
+    cfg = get_config("zinc_2d_jodo")
+    cfg.model.nf = 32
+    cfg.model.n_layers = 2
+    cfg.model.n_heads = 4
+    cfg.model.dropout = 0.0
+    cfg.model.time_dim = 64
+    cfg.sampling.steps = 5
+    model = create_model(cfg)
+    nm, em = masks_from_counts(jnp.asarray([5, 8, 3, 6]), N)
+    xh = jax.random.normal(jax.random.PRNGKey(0), (B, N, 10)) * nm[..., None]
+    ex = jax.random.normal(jax.random.PRNGKey(1), (B, N, N, 2)) * em[..., None]
+    params = model.init(
+        jax.random.PRNGKey(2), jnp.full((B,), 0.5), xh, nm, em, ex, jnp.zeros((B,))
+    )
+    sch = NoiseSchedule.create(cfg.sde.schedule)
+    nodes_dist = DistributionNodes({6: 1, 7: 1, 8: 1})
+    fn = make_sampling_fn(cfg, sch, model, nodes_dist, batch_size=B, n_samples=4, pad_n=N)
+    mols = fn(params, seed=0)
+    assert len(mols) == 4
+    for pos, atom_type, edge_type, fc in mols:
+        assert pos is None
+        np.testing.assert_array_equal(edge_type, edge_type.T)
+
+
+def test_post_process_discretisation():
+    scaler = DataScaler(1, 4, 4, 1, centered=True)
+    nm, em = masks_from_counts(jnp.asarray([3]), 4)
+    # construct xh whose argmax/round/thresholds are known
+    h_cat = jnp.asarray([[[0.9, -1, -1, -1, -1]] * 4]) / 4.0  # atom 0
+    fc = jnp.full((1, 4, 1), 1.0 / 4.0)  # charge 1 after inverse scale
+    pos = jnp.zeros((1, 4, 3))
+    xh = jnp.concatenate([pos, h_cat, fc], axis=-1)
+    # edges: exist channel scaled so inverse gives ~1, bond order 2/3 -> double
+    e_exist = jnp.full((1, 4, 4, 1), 1.0)
+    e_type = jnp.full((1, 4, 4, 1), 2.0 / 3.0 * 2.0 - 1.0)
+    edge_x = jnp.concatenate([e_exist, e_type], -1) * em[..., None]
+    p, oh, h_int, et = post_process(
+        xh, 5, True, nm, scaler, edge_x, em, compress_edge=True
+    )
+    assert np.asarray(oh)[0, :3].argmax(-1).tolist() == [0, 0, 0]
+    np.testing.assert_array_equal(np.asarray(h_int)[0, :3, 0], 1)
+    et = np.asarray(et)[0]
+    assert et[0, 1] == 2.0 and et[1, 2] == 2.0
+    assert et[0, 0] == 0.0  # diagonal masked
