@@ -1,0 +1,109 @@
+"""Data pipeline: ingestion, metadata, collation, loaders.
+
+get_dataset(config) mirrors the reference factory
+(datasets/build_dataset.py:15-67) returning (train, valid, test, info) as
+MolData views, with a synthetic fallback for hermetic runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .core import MolData, collate_batch, split_indices
+from .datasets_info import DATASET_INFO, get_dataset_info
+from .loader import BatchLoader
+from .process import prepare_2d_batch, prepare_graph_batch, prepare_node_batch
+from .synthetic import synthetic_dataset
+from . import ingest
+
+__all__ = [
+    "MolData",
+    "collate_batch",
+    "split_indices",
+    "DATASET_INFO",
+    "get_dataset_info",
+    "BatchLoader",
+    "prepare_graph_batch",
+    "prepare_2d_batch",
+    "prepare_node_batch",
+    "synthetic_dataset",
+    "ingest",
+    "get_dataset",
+    "make_loader",
+]
+
+
+def get_dataset(config, synthetic_fallback: bool = False, synthetic_size: int = 512):
+    """Build (train, valid, test, dataset_info) MolData for `config`.
+
+    `synthetic_fallback`: when the raw files are absent, return a synthetic
+    dataset with the same metadata profile instead of raising (tests,
+    benchmarks, smoke runs).
+    """
+    info = get_dataset_info(config.data.info_name)
+    name = config.data.name
+    try:
+        if name == "QM9":
+            data = ingest.load_qm9(config.data.root)
+            if "cond" in config.exp_type:
+                splits = ingest.qm9_cond_splits(len(data))
+                return (
+                    data.select(splits["first_train"]),
+                    data.select(splits["second_train"]),
+                    data.select(splits["valid"]),
+                    data.select(splits["test"]),
+                    info,
+                )
+            splits = ingest.qm9_splits(len(data))
+        elif name == "GeomDrug":
+            data = ingest.load_geom(config.data.root, config.data.processed_file)
+            splits = split_indices(len(data), "GeomDrug")
+        elif name == "Zinc250k":
+            data = ingest.load_zinc250k(config.data.root)
+            splits = ingest.zinc_splits(config.data.root, len(data))
+        elif name == "MOSES":
+            data, splits = ingest.load_moses(config.data.root)
+        else:
+            raise ValueError(f"Undefined dataset name: {name}")
+    except (FileNotFoundError, ImportError):
+        if not synthetic_fallback:
+            raise
+        data = synthetic_dataset(config.data.info_name, num_mols=synthetic_size,
+                                 with_pos=not config.only_2D)
+        splits = split_indices(len(data), "synthetic")
+        if "cond" in config.exp_type:
+            tr = splits["train"]
+            half = len(tr) // 2
+            return (
+                data.select(tr[:half]),
+                data.select(tr[half:]),
+                data.select(splits["valid"]),
+                data.select(splits["test"]),
+                info,
+            )
+
+    return (
+        data.select(splits["train"]),
+        data.select(splits["valid"]),
+        data.select(splits["test"]),
+        info,
+    )
+
+
+def make_loader(config, data: MolData, pad_n: int, batch_size: int,
+                property_values=None, shuffle: bool = True, seed: int = 0):
+    return BatchLoader(
+        data,
+        np.arange(len(data)),
+        batch_size=batch_size,
+        pad_n=pad_n,
+        num_atom_types=config.data.atom_types,
+        compress_edge=config.data.compress_edge,
+        include_aromatic=config.data.include_aromatic,
+        bond_types=config.data.bond_types,
+        property_values=property_values,
+        shuffle=shuffle,
+        seed=seed,
+    )

@@ -1,0 +1,128 @@
+"""Data pipeline: containers, collation, loaders, batch prep, splits."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from jodo_tpu.configs import get_config, pad_nodes
+from jodo_tpu.data import (
+    BatchLoader,
+    collate_batch,
+    get_dataset,
+    make_loader,
+    prepare_graph_batch,
+    split_indices,
+    synthetic_dataset,
+)
+from jodo_tpu.data.core import MolData
+from jodo_tpu.ops import DataScaler
+
+
+def test_moldata_roundtrip():
+    mols = [
+        dict(atom_type=[0, 1, 2], fc=[0, 1, -1], pos=np.eye(3, 3),
+             bond_src=[0, 1, 1, 2], bond_dst=[1, 0, 2, 1], bond_type=[1, 1, 2, 2],
+             y=np.arange(3)),
+        dict(atom_type=[3, 4], fc=[0, 0], pos=np.zeros((2, 3)),
+             bond_src=[0, 1], bond_dst=[1, 0], bond_type=[3, 3], y=np.ones(3)),
+    ]
+    from jodo_tpu.data.datasets_info import QM9_WITH_H
+
+    data = MolData.from_molecules(mols, QM9_WITH_H)
+    assert len(data) == 2
+    assert data.n_nodes.tolist() == [3, 2]
+    sub = data.select(np.asarray([1]))
+    assert len(sub) == 1
+    assert sub.atom_type.tolist() == [3, 4]
+    assert sub.bond_type.tolist() == [3, 3]
+
+
+def test_collate_edge_com_encoding():
+    mols = [
+        dict(atom_type=[1, 1, 3], fc=[0, 0, -1], pos=np.eye(3, 3),
+             bond_src=[0, 1, 1, 2], bond_dst=[1, 0, 2, 1],
+             bond_type=[2, 2, 4, 4], y=None),
+    ]
+    from jodo_tpu.data.datasets_info import QM9_WITH_H
+
+    data = MolData.from_molecules(mols, QM9_WITH_H)
+    b = collate_batch(data, np.asarray([0]), pad_n=5, num_atom_types=5,
+                      compress_edge=True, include_aromatic=True)
+    e = b["edge_one_hot"][0]
+    # double bond 0-1: exist=1, order=2/3, aromatic=0
+    assert e[0, 1, 0] == 1.0
+    np.testing.assert_allclose(e[0, 1, 1], 2 / 3)
+    assert e[0, 1, 2] == 0.0
+    # aromatic bond 1-2: exist=1, order=0, aromatic=1
+    assert e[1, 2, 0] == 1.0 and e[1, 2, 1] == 0.0 and e[1, 2, 2] == 1.0
+    # symmetry and padding
+    np.testing.assert_array_equal(e, np.swapaxes(e, 0, 1))
+    assert e[3:].sum() == 0
+    # masks
+    assert b["node_mask"][0].tolist() == [1, 1, 1, 0, 0]
+    assert b["edge_mask"][0, 0, 0] == 0
+    # one-hot atoms
+    assert b["atom_one_hot"][0, 0, 1] == 1 and b["atom_one_hot"][0, 2, 3] == 1
+    assert b["formal_charges"][0, 2, 0] == -1
+
+
+def test_collate_onehot_encoding():
+    mols = [
+        dict(atom_type=[0, 1], fc=[0, 0], pos=np.zeros((2, 3)),
+             bond_src=[0, 1], bond_dst=[1, 0], bond_type=[3, 3], y=None),
+    ]
+    from jodo_tpu.data.datasets_info import QM9_WITH_H
+
+    data = MolData.from_molecules(mols, QM9_WITH_H)
+    b = collate_batch(data, np.asarray([0]), pad_n=4, num_atom_types=5,
+                      compress_edge=False, bond_types=4)
+    e = b["edge_one_hot"][0]
+    assert e.shape[-1] == 3
+    assert e[0, 1, 2] == 1.0  # triple bond -> channel 2
+
+
+def test_loader_and_prepare():
+    data = synthetic_dataset("qm9_with_h", num_mols=64, seed=1)
+    loader = BatchLoader(data, np.arange(64), batch_size=16, pad_n=32,
+                         num_atom_types=5)
+    batches = list(loader.epoch())
+    assert len(batches) == 4
+    batch = batches[0]
+    assert batch["positions"].shape == (16, 32, 3)
+    scaler = DataScaler(1, 4, 4, 1, centered=True)
+    prepared = prepare_graph_batch(
+        {k: jnp.asarray(v) for k, v in batch.items()}, scaler
+    )
+    assert prepared["xh"].shape == (16, 32, 9)
+    assert prepared["edge_x"].shape == (16, 32, 32, 2)
+    # CoM removed
+    com = np.asarray(
+        jnp.sum(prepared["xh"][:, :, :3] * prepared["node_mask"][..., None], axis=1)
+    )
+    np.testing.assert_allclose(com, 0, atol=1e-4)
+
+
+def test_infinite_loader():
+    data = synthetic_dataset("qm9_with_h", num_mols=32, seed=2)
+    loader = BatchLoader(data, np.arange(32), batch_size=16, pad_n=32,
+                         num_atom_types=5)
+    it = loader.infinite()
+    for _ in range(5):
+        b = next(it)
+        assert b["node_mask"].shape == (16, 32)
+    it.close()
+
+
+def test_get_dataset_synthetic_fallback():
+    cfg = get_config("qm9_uncond_jodo")
+    train, valid, test, info = get_dataset(cfg, synthetic_fallback=True,
+                                           synthetic_size=100)
+    assert len(train) + len(valid) + len(test) == 100
+    assert info["name"] == "QM9"
+    assert pad_nodes(cfg) == 32
+
+
+def test_split_determinism():
+    s1 = split_indices(1000, "GeomDrug")
+    s2 = split_indices(1000, "GeomDrug")
+    np.testing.assert_array_equal(s1["train"], s2["train"])
+    assert len(s1["train"]) == 800 and len(s1["valid"]) == 100
