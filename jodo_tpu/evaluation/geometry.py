@@ -1,0 +1,270 @@
+"""Substructure geometry MMD: bond length / angle / dihedral distributions.
+
+Re-design of the reference cal_geometry pipeline (evaluation/cal_geometry.py)
+with a pure-NumPy geometry core: values are computed directly from decoded
+(positions, atom_types, bond_matrix) tuples — no RDKit conformer objects
+needed — while accepting RDKit mols too (converted on entry). Symbol
+construction matches the reference exactly, including the aromatic bond
+digit '12' (int(BondType.AROMATIC) == 12).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .mmd import compute_mmd
+
+__all__ = [
+    "MolGraph",
+    "cal_bond_distance",
+    "cal_bond_angle",
+    "cal_dihedral_angle",
+    "load_target_geometry",
+    "compute_geo_mmd",
+    "get_sub_geometry_metric",
+]
+
+_BOND_DIGIT = {1: "1", 2: "2", 3: "3", 4: "12"}
+
+
+class MolGraph:
+    """Minimal molecule: symbols, positions, bond list (begin, end, code)."""
+
+    __slots__ = ("symbols", "pos", "bonds", "adj")
+
+    def __init__(self, symbols: List[str], pos: np.ndarray,
+                 bonds: List[Tuple[int, int, int]]):
+        self.symbols = symbols
+        self.pos = np.asarray(pos, np.float64)
+        self.bonds = bonds
+        # incident bond indices per atom
+        self.adj: List[List[int]] = [[] for _ in symbols]
+        for idx, (a, b, _) in enumerate(bonds):
+            self.adj[a].append(idx)
+            self.adj[b].append(idx)
+
+    @staticmethod
+    def from_tuple(mol_tuple, atom_decoder) -> Optional["MolGraph"]:
+        pos, atom_type, edge_type = mol_tuple[0], mol_tuple[1], mol_tuple[2]
+        if pos is None:
+            return None
+        symbols = [atom_decoder[int(a)] for a in atom_type]
+        et = np.asarray(edge_type)
+        src, dst = np.nonzero(np.triu(et, 1))
+        bonds = [(int(i), int(j), int(et[i, j])) for i, j in zip(src, dst)]
+        return MolGraph(symbols, pos, bonds)
+
+    @staticmethod
+    def from_rdkit(mol) -> Optional["MolGraph"]:
+        try:
+            conf = mol.GetConformer()
+        except Exception:
+            return None
+        symbols = [a.GetSymbol() for a in mol.GetAtoms()]
+        pos = np.asarray(conf.GetPositions(), np.float64)
+        bonds = []
+        for bond in mol.GetBonds():
+            code = int(bond.GetBondType())
+            code = 4 if code == 12 else code
+            bonds.append((bond.GetBeginAtomIdx(), bond.GetEndAtomIdx(), code))
+        return MolGraph(symbols, pos, bonds)
+
+
+def _as_graphs(mols, atom_decoder) -> List[MolGraph]:
+    graphs = []
+    for m in mols:
+        if isinstance(m, MolGraph):
+            graphs.append(m)
+        elif isinstance(m, tuple) or isinstance(m, list):
+            g = MolGraph.from_tuple(m, atom_decoder)
+            if g is not None:
+                graphs.append(g)
+        else:  # assume RDKit mol
+            g = MolGraph.from_rdkit(m)
+            if g is not None:
+                graphs.append(g)
+    return graphs
+
+
+def _bond_sym(g: MolGraph, idx: int):
+    a, b, code = g.bonds[idx]
+    d = _BOND_DIGIT.get(code, str(code))
+    return g.symbols[a] + d + g.symbols[b], g.symbols[b] + d + g.symbols[a]
+
+
+def _angle_deg(p0, p1, p2) -> float:
+    v1 = p0 - p1
+    v2 = p2 - p1
+    cos = np.dot(v1, v2) / (np.linalg.norm(v1) * np.linalg.norm(v2) + 1e-12)
+    return float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
+
+
+def _dihedral_deg(p0, p1, p2, p3) -> float:
+    b0 = p0 - p1
+    b1 = p2 - p1
+    b2 = p3 - p2
+    b1n = b1 / (np.linalg.norm(b1) + 1e-12)
+    v = b0 - np.dot(b0, b1n) * b1n
+    w = b2 - np.dot(b2, b1n) * b1n
+    x = np.dot(v, w)
+    y = np.dot(np.cross(b1n, v), w)
+    return float(np.degrees(np.arctan2(y, x)))
+
+
+def _pair_symbol(g: MolGraph, i0: int, i1: int):
+    """Symbol + (i,j,k) of the angle formed by bonds i0,i1 sharing an atom
+    (reference get_bond_pair_symbol, cal_geometry.py:62-91)."""
+    a00, a01, c0 = g.bonds[i0]
+    a10, a11, c1 = g.bonds[i1]
+    d0 = _BOND_DIGIT.get(c0, str(c0))
+    d1 = _BOND_DIGIT.get(c1, str(c1))
+    s = g.symbols
+    if a00 == a10:
+        sym = s[a01] + d0 + s[a00] + "-" + s[a10] + d1 + s[a11]
+        ijk = (a01, a00, a11)
+    elif a00 == a11:
+        sym = s[a01] + d0 + s[a00] + "-" + s[a11] + d1 + s[a10]
+        ijk = (a01, a00, a10)
+    elif a01 == a10:
+        sym = s[a00] + d0 + s[a01] + "-" + s[a10] + d1 + s[a11]
+        ijk = (a00, a01, a11)
+    elif a01 == a11:
+        sym = s[a00] + d0 + s[a01] + "-" + s[a11] + d1 + s[a10]
+        ijk = (a00, a01, a10)
+    else:
+        raise ValueError("Bond pair error.")
+    return sym, ijk
+
+
+def _triple_symbol(g: MolGraph, il: int, im: int, ir: int):
+    """Symbol + (i,j,k,l) for a dihedral (cal_geometry.py:145-194)."""
+    sym0, ijk = _pair_symbol(g, il, im)
+    last = ijk[2]
+    a20, a21, c2 = g.bonds[ir]
+    d2 = _BOND_DIGIT.get(c2, str(c2))
+    s = g.symbols
+    if a20 == last:
+        sym = sym0 + "-" + s[a20] + d2 + s[a21]
+        ijkl = (*ijk, a21)
+    elif a21 == last:
+        sym = sym0 + "-" + s[a21] + d2 + s[a20]
+        ijkl = (*ijk, a20)
+    else:
+        raise ValueError("Right bond error.")
+    return sym, ijkl
+
+
+def cal_bond_distance(mols, top_bond_syms, atom_decoder=None):
+    out = {sym: [] for sym in top_bond_syms}
+    for g in _as_graphs(mols, atom_decoder):
+        for idx, (a, b, code) in enumerate(g.bonds):
+            sym, rsym = _bond_sym(g, idx)
+            if sym in out:
+                out[sym].append(float(np.linalg.norm(g.pos[a] - g.pos[b])))
+            elif rsym in out:
+                out[rsym].append(float(np.linalg.norm(g.pos[a] - g.pos[b])))
+    return out
+
+
+def cal_bond_angle(mols, top_angle_syms, atom_decoder=None):
+    out = {sym: [] for sym in top_angle_syms}
+    for g in _as_graphs(mols, atom_decoder):
+        # pairs: each bond with every other bond incident to its END atom
+        # (reference get_bond_pairs, cal_geometry.py:46-59)
+        for bi, (a, b, _) in enumerate(g.bonds):
+            for bj in g.adj[b]:
+                if bj == bi:
+                    continue
+                sym, (i, j, k) = _pair_symbol(g, bi, bj)
+                rsym, _ = _pair_symbol(g, bj, bi)
+                if sym in out:
+                    out[sym].append(_angle_deg(g.pos[i], g.pos[j], g.pos[k]))
+                elif rsym in out:
+                    out[rsym].append(_angle_deg(g.pos[k], g.pos[j], g.pos[i]))
+    return out
+
+
+def cal_dihedral_angle(mols, top_dihedral_syms, atom_decoder=None):
+    out = {sym: [] for sym in top_dihedral_syms}
+    for g in _as_graphs(mols, atom_decoder):
+        # triples around each middle bond (cal_geometry.py:116-142)
+        for bi, (a, b, _) in enumerate(g.bonds):
+            left = [x for x in g.adj[a] if x != bi]
+            if not left:
+                continue
+            right = [x for x in g.adj[b] if x != bi]
+            for br in right:
+                for bl in left:
+                    sym, (i, j, k, l) = _triple_symbol(g, bl, bi, br)
+                    rsym, _ = _triple_symbol(g, br, bi, bl)
+                    if sym in out:
+                        out[sym].append(
+                            _dihedral_deg(g.pos[i], g.pos[j], g.pos[k], g.pos[l])
+                        )
+                    elif rsym in out:
+                        out[rsym].append(
+                            _dihedral_deg(g.pos[l], g.pos[k], g.pos[j], g.pos[i])
+                        )
+    return out
+
+
+def load_target_geometry(mols, dataset_info, dataset_root: str):
+    """Cached test-set geometry statistics (cal_geometry.py:219-235)."""
+    path = os.path.join(dataset_root, "target_geometry_stat.pk")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    decoder = dataset_info["atom_decoder"]
+    stat = {
+        **cal_bond_distance(mols, dataset_info["top_bond_sym"], decoder),
+        **cal_bond_angle(mols, dataset_info["top_angle_sym"], decoder),
+        **cal_dihedral_angle(mols, dataset_info["top_dihedral_sym"], decoder),
+    }
+    os.makedirs(dataset_root, exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(stat, f)
+    return stat
+
+
+def compute_geo_mmd(gen_mols, tar_geo, cal_fn, top_syms, mean_name,
+                    atom_decoder=None, max_samples: int = 20000):
+    res = {}
+    gen_geo = cal_fn(gen_mols, top_syms, atom_decoder)
+    for sym in top_syms:
+        tar = tar_geo.get(sym, [])
+        gen = gen_geo[sym]
+        if len(gen) == 0 or len(tar) == 0:
+            res[sym] = float("nan")
+            continue
+        if len(tar) > max_samples:
+            tar = random.sample(list(tar), max_samples)
+        if len(gen) > max_samples:
+            gen = random.sample(list(gen), max_samples)
+        res[sym] = compute_mmd(np.asarray(gen), np.asarray(tar))
+    res[mean_name] = float(np.nanmean([res[s] for s in top_syms]))
+    return res
+
+
+def get_sub_geometry_metric(test_mols, dataset_info, root_path: str):
+    decoder = dataset_info["atom_decoder"]
+    tar_geo = load_target_geometry(test_mols, dataset_info, root_path)
+
+    def sub_geometry_metric(gen_mols):
+        return {
+            **compute_geo_mmd(gen_mols, tar_geo, cal_bond_distance,
+                              dataset_info["top_bond_sym"], "bond_length_mean",
+                              decoder),
+            **compute_geo_mmd(gen_mols, tar_geo, cal_bond_angle,
+                              dataset_info["top_angle_sym"], "bond_angle_mean",
+                              decoder),
+            **compute_geo_mmd(gen_mols, tar_geo, cal_dihedral_angle,
+                              dataset_info["top_dihedral_sym"],
+                              "dihedral_angle_mean", decoder),
+        }
+
+    return sub_geometry_metric

@@ -1,0 +1,261 @@
+"""Atom/molecule stability metrics with a pure-NumPy core.
+
+Mirrors the reference's semantics (evaluation/stability.py:17-230):
+  3D: infer bond orders from pairwise distances (vectorised), count per-atom
+      valence, compare against the neutral valence table.
+  2D: use the generated bond matrix + formal charges; aromatic bonds count
+      1.5 after (RDKit) kekulisation — without RDKit kekulisation is skipped,
+      identical to the reference's behaviour when Kekulize throws.
+RDKit mol construction is optional (needed only for validity/SMILES
+metrics downstream).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .bond_analyze import (
+    ALLOWED_BONDS,
+    ALLOWED_FC_BONDS,
+    build_threshold_matrices,
+    geom_predictor,
+    get_bond_order,
+    infer_bonds_dense,
+)
+
+try:
+    from rdkit import Chem
+    from rdkit.Geometry import Point3D
+
+    HAS_RDKIT = True
+    BOND_LIST = [
+        None,
+        Chem.rdchem.BondType.SINGLE,
+        Chem.rdchem.BondType.DOUBLE,
+        Chem.rdchem.BondType.TRIPLE,
+        Chem.rdchem.BondType.AROMATIC,
+    ]
+    STABILITY_BONDS = {
+        Chem.rdchem.BondType.SINGLE: 1,
+        Chem.rdchem.BondType.DOUBLE: 2,
+        Chem.rdchem.BondType.TRIPLE: 3,
+        Chem.rdchem.BondType.AROMATIC: 1.5,
+    }
+except ImportError:
+    HAS_RDKIT = False
+
+__all__ = [
+    "check_stability",
+    "check_2d_stability",
+    "get_edm_metric",
+    "get_2d_edm_metric",
+    "build_rdkit_mol",
+]
+
+
+def build_rdkit_mol(positions, atom_type, dataset_info, bond_matrix=None,
+                    formal_charges=None):
+    """Decoded tensors -> RDKit RWMol (None when RDKit unavailable)."""
+    if not HAS_RDKIT:
+        return None
+    decoder = dataset_info["atom_decoder"]
+    atom_fcs = dataset_info.get("atom_fc_num", {})
+    mol = Chem.RWMol()
+    for a in atom_type:
+        mol.AddAtom(Chem.Atom(decoder[int(a)]))
+    if formal_charges is not None:
+        for idx, fc in enumerate(formal_charges):
+            fc = int(fc)
+            if fc != 0:
+                sym = mol.GetAtomWithIdx(idx).GetSymbol()
+                # only charges seen in the training census are applied
+                # (evaluation/stability.py:97-105)
+                if sym + str(fc) in atom_fcs:
+                    mol.GetAtomWithIdx(idx).SetFormalCharge(fc)
+    if positions is not None:
+        conf = Chem.Conformer(mol.GetNumAtoms())
+        for i in range(mol.GetNumAtoms()):
+            conf.SetAtomPosition(
+                i, Point3D(float(positions[i][0]), float(positions[i][1]),
+                           float(positions[i][2]))
+            )
+        mol.AddConformer(conf)
+    if bond_matrix is not None:
+        n = len(atom_type)
+        for i in range(n):
+            for j in range(i + 1, n):
+                order = int(bond_matrix[i, j])
+                if order > 0:
+                    mol.AddBond(i, j, BOND_LIST[order])
+    return mol
+
+
+def _is_stable(symbol: str, valence, table) -> bool:
+    allowed = table[symbol]
+    if isinstance(allowed, int):
+        return allowed == valence
+    return valence in allowed
+
+
+def check_stability(positions, atom_type, dataset_info, thresholds=None):
+    """3D stability of one molecule from raw positions.
+
+    Returns (mol_stable, n_stable_atoms, n_atoms, rdkit_mol_or_None)."""
+    decoder = dataset_info["atom_decoder"]
+    positions = np.asarray(positions)
+    atom_type = np.asarray(atom_type, np.int64)
+    n = len(atom_type)
+
+    if "QM9" in dataset_info["name"]:
+        if thresholds is None:
+            thresholds = build_threshold_matrices(decoder)
+        order = infer_bonds_dense(positions, atom_type, thresholds)
+    elif "Geom" in dataset_info["name"]:
+        order = np.zeros((n, n), np.int64)
+        for i in range(n):
+            for j in range(i + 1, n):
+                pair = sorted([int(atom_type[i]), int(atom_type[j])])
+                dist = float(np.linalg.norm(positions[i] - positions[j]))
+                o = geom_predictor((decoder[pair[0]], decoder[pair[1]]), dist)
+                order[i, j] = order[j, i] = o
+    else:
+        raise ValueError("Fail to get dataset bond info.")
+
+    nr_bonds = order.sum(axis=1)
+    stable = sum(
+        _is_stable(decoder[int(a)], int(v), ALLOWED_BONDS)
+        for a, v in zip(atom_type, nr_bonds)
+    )
+    mol = build_rdkit_mol(positions, atom_type, dataset_info, order)
+    return int(stable) == n, int(stable), n, mol
+
+
+def _kekulized_valences(atom_type, bond_matrix, dataset_info):
+    """Per-atom valence counts from a generated bond matrix; aromatic via
+    RDKit kekulisation when available (else 1.5 each)."""
+    n = len(atom_type)
+    if HAS_RDKIT:
+        import copy
+
+        mol = build_rdkit_mol(None, atom_type, dataset_info, bond_matrix)
+        new_mol = copy.deepcopy(mol)
+        try:
+            Chem.Kekulize(new_mol)
+        except Exception:
+            pass
+        nr_bonds = np.zeros(n, np.float64)
+        for bond in new_mol.GetBonds():
+            s, e = bond.GetBeginAtomIdx(), bond.GetEndAtomIdx()
+            order = STABILITY_BONDS[bond.GetBondType()]
+            nr_bonds[s] += order
+            nr_bonds[e] += order
+        return nr_bonds
+    orders = np.asarray([0.0, 1.0, 2.0, 3.0, 1.5])
+    vals = orders[np.asarray(bond_matrix, np.int64)]
+    np.fill_diagonal(vals, 0.0)
+    return vals.sum(axis=1)
+
+
+def check_2d_stability(positions, atom_type, formal_charges, bond_matrix,
+                       dataset_info):
+    """2D stability from generated bonds+charges
+    (evaluation/stability.py:76-161)."""
+    decoder = dataset_info["atom_decoder"]
+    atom_type = np.asarray(atom_type, np.int64)
+    n = len(atom_type)
+    if formal_charges is None or len(np.shape(formal_charges)) == 0 or (
+        np.size(formal_charges) == 0
+    ):
+        formal_charges = np.zeros(n, np.int64)
+    formal_charges = np.asarray(formal_charges, np.int64)
+
+    mol = build_rdkit_mol(positions, atom_type, dataset_info, bond_matrix,
+                          formal_charges)
+
+    if dataset_info["name"] not in ("GeomDrug", "QM9"):
+        return 0, 0, n, mol
+
+    nr_bonds = _kekulized_valences(atom_type, bond_matrix, dataset_info)
+
+    stable = 0
+    for a, v, fc in zip(atom_type, nr_bonds, formal_charges):
+        sym = decoder[int(a)]
+        allowed = ALLOWED_FC_BONDS[sym]
+        v = int(v) if float(v).is_integer() else float(v)
+        if isinstance(allowed, int):
+            ok = allowed == v
+        elif isinstance(allowed, dict):
+            expected = allowed.get(int(fc), allowed[0] if 0 in allowed else None)
+            if expected is None:
+                ok = False
+            elif isinstance(expected, int):
+                ok = expected == v
+            else:
+                ok = v in expected
+        else:
+            ok = v in allowed
+        stable += int(ok)
+    return stable == n, stable, n, mol
+
+
+def get_edm_metric(dataset_info, train_mols=None):
+    """3D stability + basic RDKit metrics over decoded molecule tuples
+    (reference evaluation/stability.py:164-196)."""
+    from .rdkit_metric import eval_rdmol
+
+    train_smiles = _mols_to_smiles(train_mols)
+    thresholds = build_threshold_matrices(dataset_info["atom_decoder"])
+
+    def edm_metric(processed_list):
+        n_stable_mols, n_stable_atoms, n_atoms = 0, 0, 0
+        rd_mols = []
+        for mol in processed_list:
+            pos, atom_type = mol[0], mol[1]
+            ok, stable, n, rd = check_stability(pos, atom_type, dataset_info,
+                                                thresholds)
+            n_stable_mols += int(ok)
+            n_stable_atoms += stable
+            n_atoms += n
+            rd_mols.append(rd)
+        stability = {
+            "mol_stable": n_stable_mols / float(len(processed_list)),
+            "atom_stable": n_stable_atoms / float(max(n_atoms, 1)),
+        }
+        rdkit_res = eval_rdmol(rd_mols, train_smiles)
+        return stability, rdkit_res, rd_mols
+
+    return edm_metric
+
+
+def get_2d_edm_metric(dataset_info, train_mols=None):
+    from .rdkit_metric import eval_rdmol
+
+    train_smiles = _mols_to_smiles(train_mols)
+
+    def edm_metric_2d(processed_list):
+        n_stable_mols, n_stable_atoms, n_atoms = 0, 0, 0
+        rd_mols = []
+        for mol in processed_list:
+            pos, atom_type, edge_type, fc = mol
+            ok, stable, n, rd = check_2d_stability(pos, atom_type, fc,
+                                                   edge_type, dataset_info)
+            n_stable_mols += int(ok)
+            n_stable_atoms += stable
+            n_atoms += n
+            rd_mols.append(rd)
+        stability = {
+            "mol_stable": n_stable_mols / float(len(processed_list)),
+            "atom_stable": n_stable_atoms / float(max(n_atoms, 1)),
+        }
+        rdkit_res = eval_rdmol(rd_mols, train_smiles)
+        return stability, rdkit_res, rd_mols
+
+    return edm_metric_2d
+
+
+def _mols_to_smiles(mols):
+    if mols is None or not HAS_RDKIT:
+        return None
+    return [Chem.MolToSmiles(m) for m in mols if m is not None]

@@ -1,0 +1,169 @@
+"""Evaluation metrics: bond inference, stability, MMD, geometry."""
+
+import numpy as np
+import pytest
+
+from jodo_tpu.data.datasets_info import QM9_WITH_H, GEOM_WITH_H_1
+from jodo_tpu.evaluation import (
+    build_threshold_matrices,
+    check_2d_stability,
+    check_stability,
+    compute_mmd,
+    get_bond_order,
+    get_2d_edm_metric,
+    get_edm_metric,
+    get_sub_geometry_metric,
+    infer_bonds_dense,
+)
+from jodo_tpu.evaluation.geometry import (
+    cal_bond_angle,
+    cal_bond_distance,
+    cal_dihedral_angle,
+)
+
+
+def test_get_bond_order_thresholds():
+    # C-C single 1.54 A, double 1.34, triple 1.20 (+margins 10/5/3 pm)
+    assert get_bond_order("C", "C", 1.55) == 1
+    assert get_bond_order("C", "C", 1.70) == 0
+    assert get_bond_order("C", "C", 1.30) == 2
+    assert get_bond_order("C", "C", 1.15) == 3
+    assert get_bond_order("H", "H", 0.70) == 1
+    # unknown pair with check_exists
+    assert get_bond_order("C", "C", 1.0, check_exists=False) == 3
+
+
+def test_infer_bonds_dense_matches_scalar():
+    decoder = QM9_WITH_H["atom_decoder"]
+    thresholds = build_threshold_matrices(decoder)
+    rng = np.random.default_rng(0)
+    pos = rng.normal(scale=1.2, size=(8, 3))
+    at = rng.integers(0, 5, size=8)
+    dense = infer_bonds_dense(pos, at, thresholds)
+    for i in range(8):
+        for j in range(8):
+            if i == j:
+                assert dense[i, j] == 0
+                continue
+            d = float(np.linalg.norm(pos[i] - pos[j]))
+            expected = get_bond_order(decoder[at[i]], decoder[at[j]], d)
+            assert dense[i, j] == expected
+
+
+def test_check_stability_methane():
+    # CH4 at tetrahedral geometry: stable
+    r = 1.09
+    s3 = r / np.sqrt(3)
+    pos = np.array([
+        [0, 0, 0],
+        [s3, s3, s3],
+        [s3, -s3, -s3],
+        [-s3, s3, -s3],
+        [-s3, -s3, s3],
+    ])
+    atom_type = np.array([1, 0, 0, 0, 0])  # C,H,H,H,H
+    ok, stable, n, _ = check_stability(pos, atom_type, QM9_WITH_H)
+    assert ok and stable == 5 and n == 5
+
+
+def test_check_stability_isolated_atoms_unstable():
+    pos = np.array([[0.0, 0, 0], [10.0, 0, 0]])
+    atom_type = np.array([1, 1])  # two far-apart carbons
+    ok, stable, n, _ = check_stability(pos, atom_type, QM9_WITH_H)
+    assert not ok and stable == 0
+
+
+def test_check_2d_stability():
+    # methane by explicit bonds
+    et = np.zeros((5, 5), np.int64)
+    et[0, 1:] = 1
+    et[1:, 0] = 1
+    atom_type = np.array([1, 0, 0, 0, 0])
+    fc = np.zeros(5, np.int64)
+    ok, stable, n, _ = check_2d_stability(None, atom_type, fc, et, QM9_WITH_H)
+    assert ok and stable == 5
+    # N with charge +1 and 4 bonds is allowed
+    et2 = np.zeros((5, 5), np.int64)
+    et2[0, 1:] = 1
+    et2[1:, 0] = 1
+    atom_type2 = np.array([2, 0, 0, 0, 0])  # N,H,H,H,H
+    ok0, stable0, _, _ = check_2d_stability(None, atom_type2, np.zeros(5, np.int64), et2, QM9_WITH_H)
+    fc2 = np.array([1, 0, 0, 0, 0])
+    ok1, stable1, _, _ = check_2d_stability(None, atom_type2, fc2, et2, QM9_WITH_H)
+    assert not ok0 and ok1
+
+
+def test_edm_metric_pipeline():
+    r = 1.09
+    s3 = r / np.sqrt(3)
+    pos = np.array([[0, 0, 0], [s3, s3, s3], [s3, -s3, -s3], [-s3, s3, -s3],
+                    [-s3, -s3, s3]])
+    atom_type = np.array([1, 0, 0, 0, 0])
+    et = np.zeros((5, 5), np.int64)
+    et[0, 1:] = 1
+    et[1:, 0] = 1
+    fc = np.zeros(5, np.int64)
+    mols = [(pos, atom_type, et, fc)] * 3
+
+    metric = get_edm_metric(QM9_WITH_H)
+    stab, rdkit_res, rd_mols = metric(mols)
+    assert stab["mol_stable"] == 1.0 and stab["atom_stable"] == 1.0
+
+    metric2d = get_2d_edm_metric(QM9_WITH_H)
+    stab2, _, _ = metric2d(mols)
+    assert stab2["mol_stable"] == 1.0
+
+
+def test_mmd_properties():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=500)
+    b = rng.normal(size=500)
+    c = rng.normal(loc=3.0, size=500)
+    same = compute_mmd(a, b)
+    diff = compute_mmd(a, c)
+    assert diff > same
+    assert abs(compute_mmd(a, a)) < 1e-6
+
+
+def _ethanol_like():
+    # C-C-O chain with H's; simple coordinates
+    pos = np.array([
+        [0.0, 0, 0],       # C
+        [1.5, 0, 0],       # C
+        [2.2, 1.2, 0],     # O
+        [-0.5, 0.9, 0],    # H on C0
+    ])
+    atom_type = np.array([1, 1, 3, 0])
+    et = np.zeros((4, 4), np.int64)
+    for i, j in [(0, 1), (1, 2), (0, 3)]:
+        et[i, j] = et[j, i] = 1
+    fc = np.zeros(4, np.int64)
+    return (pos, atom_type, et, fc)
+
+
+def test_geometry_distributions():
+    mol = _ethanol_like()
+    decoder = QM9_WITH_H["atom_decoder"]
+    bd = cal_bond_distance([mol], ["C1C", "C1O", "C1H"], decoder)
+    np.testing.assert_allclose(bd["C1C"], [1.5], atol=1e-6)
+    assert len(bd["C1O"]) == 1 and len(bd["C1H"]) == 1
+    ang = cal_bond_angle([mol], ["C1C-C1O", "H1C-C1C"], decoder)
+    assert len(ang["C1C-C1O"]) >= 1
+    # 109-ish degrees for the C-C-O angle
+    v = ang["C1C-C1O"][0]
+    assert 100 < v < 130
+    dih = cal_dihedral_angle([mol], ["H1C-C1C-C1O"], decoder)
+    assert len(dih["H1C-C1C-C1O"]) == 1
+
+
+def test_sub_geometry_metric(tmp_path):
+    rng = np.random.default_rng(0)
+    mols = []
+    for _ in range(8):
+        pos, at, et, fc = _ethanol_like()
+        mols.append((pos + rng.normal(scale=0.02, size=pos.shape), at, et, fc))
+    metric = get_sub_geometry_metric(mols, QM9_WITH_H, str(tmp_path))
+    res = metric(mols)
+    # identical distributions -> ~0 MMD on present symbols
+    assert abs(res["C1C"]) < 1e-6
+    assert "bond_length_mean" in res and "dihedral_angle_mean" in res
