@@ -71,7 +71,8 @@ def get_dataset(config, synthetic_fallback: bool = False, synthetic_size: int = 
         if not synthetic_fallback:
             raise
         data = synthetic_dataset(config.data.info_name, num_mols=synthetic_size,
-                                 with_pos=not config.only_2D)
+                                 with_pos=not config.only_2D,
+                                 max_nodes=int(config.data.max_node))
         splits = split_indices(len(data), "synthetic")
         if "cond" in config.exp_type:
             tr = splits["train"]

@@ -120,6 +120,12 @@ def collate_batch(
     b = len(indices)
     edge_ch = (2 + int(include_aromatic)) if compress_edge else (bond_types - 1)
 
+    sizes = data.n_nodes[np.asarray(indices)]
+    if sizes.max(initial=0) > pad_n:
+        raise ValueError(
+            f"molecule with {int(sizes.max())} atoms exceeds pad_n={pad_n}"
+        )
+
     one_hot = np.zeros((b, pad_n, num_atom_types), np.float32)
     positions = np.zeros((b, pad_n, 3), np.float32)
     fc = np.zeros((b, pad_n, 1), np.float32)

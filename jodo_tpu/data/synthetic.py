@@ -22,11 +22,15 @@ def synthetic_dataset(
     seed: int = 0,
     with_pos: bool = True,
     num_props: int = 19,
+    max_nodes: int = 0,
 ) -> MolData:
     info = get_dataset_info(info_name)
     rng = np.random.default_rng(seed)
     sizes = np.array(sorted(info["train_n_nodes"].keys()))
     probs = np.array([info["train_n_nodes"][s] for s in sizes], np.float64)
+    if max_nodes:
+        keep = sizes <= max_nodes
+        sizes, probs = sizes[keep], probs[keep]
     probs /= probs.sum()
     n_types = len(info["atom_decoder"])
 

@@ -87,7 +87,6 @@ class HybridMPBlock(nn.Module):
         outs.append(GroupNorm32(self.dim, name="norm1_attn")(h_attn))
 
         h = sum(outs) * nm
-        h_pair = h[:, :, None, :] + h[:, None, :, :]
 
         # FFNs
         y = nn.Dense(self.dim * 2, name="ff1")(h)
@@ -95,7 +94,10 @@ class HybridMPBlock(nn.Module):
         y = nn.Dropout(self.dropout)(nn.Dense(self.dim, name="ff2")(y), deterministic=deterministic)
         h = GroupNorm32(self.dim, name="norm2_node")(h + y) * nm
 
-        ye = nn.Dense(self.dim * 2, name="ff3")(h_pair)
+        # Dense(h_i + h_j): per-node matmul + broadcast add (same affine map)
+        y3 = nn.Dense(self.dim * 2, use_bias=False, name="ff3")(h)
+        ff3_bias = self.param("ff3_bias", nn.initializers.zeros, (self.dim * 2,))
+        ye = y3[:, :, None, :] + y3[:, None, :, :] + ff3_bias
         ye = nn.Dropout(self.dropout)(nn.relu(ye), deterministic=deterministic)
         ye = nn.Dropout(self.dropout)(nn.Dense(self.dim, name="ff4")(ye), deterministic=deterministic)
         h_edge_out = GroupNorm32(self.dim, name="norm2_edge")(e_in + ye) * edge_mask[..., None]

@@ -26,10 +26,12 @@ class EGCLMask(nn.Module):
     def __call__(self, h, pos, node_mask, edge_mask, h0=None):
         b, n, d = h.shape
         radial = pairwise_sq_dist(pos)[..., None]  # [B,N,N,1]
-        h_i = jnp.broadcast_to(h[:, :, None, :], (b, n, n, d))
-        h_j = jnp.broadcast_to(h[:, None, :, :], (b, n, n, d))
-        edge_in = jnp.concatenate([h_i, h_j, radial], axis=-1)
-        m = nn.Dense(self.hidden_nf, name="edge_mlp_0")(edge_in)
+        # Dense([h_i, h_j, r_ij]) split into per-node matmuls (same affine
+        # map, O(N) instead of O(N^2) matmul rows)
+        y_i = nn.Dense(self.hidden_nf, name="edge_mlp_0_i")(h)
+        y_j = nn.Dense(self.hidden_nf, use_bias=False, name="edge_mlp_0_j")(h)
+        y_r = nn.Dense(self.hidden_nf, use_bias=False, name="edge_mlp_0_r")(radial)
+        m = y_i[:, :, None, :] + y_j[:, None, :, :] + y_r
         m = nn.silu(m)
         m = nn.Dense(self.hidden_nf, name="edge_mlp_1")(m)
         m = nn.silu(m)

@@ -1,0 +1,427 @@
+"""Experiment pipelines: train / evaluate for the four experiment types.
+
+Mirrors the reference run_lib (run_lib.py:36-1046) with the TPU-native
+stack: single-jit train steps over a data mesh, scan-compiled samplers,
+Orbax meta/numbered checkpoints, host-side chemistry metrics.
+
+exp_type dispatch (run_lib.py:1049-1062):
+  vpsde_edge            joint 2D+3D (QM9 / GEOM-Drugs)
+  vpsde                 2D-only (ZINC / MOSES / CDGS)
+  vpsde_edge_cond       single-property conditional
+  vpsde_edge_cond_multi two-property conditional
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import pickle
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import losses as losses_lib
+from .configs.base import pad_nodes
+from .cond import DistributionProperty, compute_mean_mad, make_classifier_fn
+from .data import (
+    get_dataset,
+    make_loader,
+    prepare_2d_batch,
+    prepare_graph_batch,
+)
+from .data.ingest import compute_property_values
+from .diffusion import NoiseSchedule
+from .evaluation import (
+    get_2d_edm_metric,
+    get_edm_metric,
+    get_fcd_metric,
+    get_moses_metrics,
+    get_sub_geometry_metric,
+)
+from .models import create_model, get_node_dist
+from .models.egnn import EGNNRegressor
+from .ops import DataScaler
+from .parallel import make_mesh, replicate_state, shard_batch
+from .profiling import StepTimer
+from .sampling import make_cond_sampling_eval_fn, make_sampling_fn
+from .training import (
+    CheckpointManager,
+    TrainState,
+    make_apply_fn,
+    make_optimizer,
+    make_train_step,
+)
+
+__all__ = ["train", "evaluate", "build_training", "run_train_loop"]
+
+
+# ---------------------------------------------------------------------------
+# shared assembly
+# ---------------------------------------------------------------------------
+
+
+def _prop_norm_for(config, data):
+    """Mean/MAD normalisers for the conditional experiment's properties."""
+    if "cond" not in config.exp_type:
+        return None, None
+    info_p2i = {"mu": 0, "alpha": 1, "homo": 2, "lumo": 3, "gap": 4, "Cv": 11}
+    if config.exp_type == "vpsde_edge_cond":
+        props = [config.cond_property]
+    else:
+        props = [config.cond_property1, config.cond_property2]
+    values = np.stack(
+        [compute_property_values(data, info_p2i[p]) for p in props], axis=1
+    )
+    prop_norm = {p: compute_mean_mad(values[:, i]) for i, p in enumerate(props)}
+    return prop_norm, values
+
+
+def build_training(config, dataset=None, synthetic_fallback=True):
+    """Assemble every training component; returns a dict of parts."""
+    pad_n = pad_nodes(config)
+    cond = "cond" in config.exp_type
+
+    if dataset is None:
+        dataset = get_dataset(config, synthetic_fallback=synthetic_fallback)
+    if cond:
+        first_train, train_ds, val_ds, test_ds, info = dataset
+    else:
+        train_ds, val_ds, test_ds, info = dataset
+        first_train = None
+
+    prop_norm, prop_values = _prop_norm_for(config, train_ds)
+
+    model = create_model(config)
+    schedule = NoiseSchedule.create(
+        config.sde.schedule, config.sde.continuous_beta_0, config.sde.continuous_beta_1
+    )
+    scaler = DataScaler.from_config(config)
+    loss_fn = losses_lib.make_loss_fn(schedule, config)
+    tx = make_optimizer(config)
+    nodes_dist = get_node_dist(info, seed=config.seed)
+
+    prop_dist = None
+    if cond:
+        if config.exp_type == "vpsde_edge_cond":
+            props = [config.cond_property]
+        else:
+            props = [config.cond_property1, config.cond_property2]
+        prop_dist = DistributionProperty(
+            train_ds.n_nodes, prop_values, props, normalizer=prop_norm,
+            seed=config.seed,
+        )
+
+    include_charges = bool(config.model.include_fc_charge)
+    prop_norm_values = list(prop_norm.values()) if prop_norm else None
+
+    def prepared_loss_fn(apply_fn, key, raw_batch):
+        if config.only_2D:
+            batch = prepare_2d_batch(raw_batch, scaler, include_charges,
+                                     prop_norm_values)
+        else:
+            batch = prepare_graph_batch(raw_batch, scaler, include_charges,
+                                        prop_norm_values)
+        return loss_fn(apply_fn, key, batch)
+
+    train_step = make_train_step(
+        model, prepared_loss_fn, tx, config.model.ema_decay,
+        config.optim.grad_clip, donate=bool(config.tpu.donate_state),
+    )
+
+    loader = make_loader(
+        config, train_ds, pad_n, config.training.batch_size,
+        property_values=prop_values, seed=config.seed,
+    )
+
+    return dict(
+        pad_n=pad_n,
+        model=model,
+        schedule=schedule,
+        scaler=scaler,
+        tx=tx,
+        loss_fn=prepared_loss_fn,
+        train_step=train_step,
+        loader=loader,
+        nodes_dist=nodes_dist,
+        prop_dist=prop_dist,
+        prop_norm=prop_norm,
+        datasets=(first_train, train_ds, val_ds, test_ds) if cond
+        else (train_ds, val_ds, test_ds),
+        info=info,
+    )
+
+
+def init_state(config, parts, seed: Optional[int] = None) -> TrainState:
+    """Initialise model params + train state for the configured shapes."""
+    pad_n = parts["pad_n"]
+    b = 2
+    node_dim = config.data.atom_types + int(config.model.include_fc_charge)
+    if not config.only_2D:
+        node_dim += 3
+    key = jax.random.PRNGKey(config.seed if seed is None else seed)
+    xh = jnp.zeros((b, pad_n, node_dim))
+    nm = jnp.ones((b, pad_n))
+    em = jnp.ones((b, pad_n, pad_n))
+    ex = jnp.zeros((b, pad_n, pad_n, config.model.edge_ch))
+    kwargs = {}
+    if "cond" in config.exp_type:
+        kwargs["context"] = jnp.zeros((b, int(config.model.cond_ch)))
+    # jit the init: eager flax init dispatches thousands of tiny ops
+    # (prohibitive over remote-TPU links); one compiled program instead
+    params = jax.jit(parts["model"].init)(
+        key, jnp.full((b,), 0.5), xh, nm, em, ex, jnp.zeros((b,)), **kwargs
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    logging.info("model size: %.1fMB (%d params)", n_params * 4 / 2**20, n_params)
+    return TrainState.create(params, parts["tx"])
+
+
+# ---------------------------------------------------------------------------
+# training loop (shared across experiment types)
+# ---------------------------------------------------------------------------
+
+
+def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = None,
+                   sample_at_snapshot: Optional[bool] = None):
+    os.makedirs(workdir, exist_ok=True)
+    parts = parts or build_training(config)
+    mesh = make_mesh(config.tpu.mesh_shape)
+    ckpt = CheckpointManager(workdir)
+
+    state = init_state(config, parts)
+    state = ckpt.restore_meta(state)
+    state = replicate_state(state, mesh)
+    initial_step = int(state.step)
+    n_iters = num_steps if num_steps is not None else config.training.n_iters
+    snapshot_sampling = (
+        config.training.snapshot_sampling
+        if sample_at_snapshot is None
+        else sample_at_snapshot
+    )
+
+    sampling_fn = None
+    if snapshot_sampling:
+        sampling_fn = make_sampling_fn(
+            config, parts["schedule"], parts["model"], parts["nodes_dist"],
+            config.training.eval_batch_size, config.training.eval_samples,
+            parts["pad_n"], prop_dist=parts["prop_dist"],
+        )
+        info = parts["info"]
+        edm_metric = get_edm_metric(info)
+        edm_metric_2d = get_2d_edm_metric(info)
+
+    key = jax.random.PRNGKey(config.seed)
+    key = jax.random.fold_in(key, initial_step)
+    timer = StepTimer()
+    train_iter = parts["loader"].infinite()
+    train_step = parts["train_step"]
+    last_metrics = {}
+
+    for step in range(initial_step, n_iters + 1):
+        raw = next(train_iter)
+        batch = shard_batch({k: jnp.asarray(v) for k, v in raw.items()}, mesh)
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batch, sub)
+        timer.tick()
+
+        if step % config.training.log_freq == 0:
+            loss = float(metrics["loss"])
+            sps = timer.steps_per_sec
+            logging.info(
+                "step: %d, training_loss: %.5e, steps/sec: %s",
+                step, loss, f"{sps:.2f}" if sps else "n/a",
+            )
+            last_metrics = {"loss": loss, "steps_per_sec": sps}
+
+        if step != 0 and step % config.training.snapshot_freq_for_preemption == 0:
+            ckpt.save_meta(jax.device_get(state))
+
+        if (step != 0 and step % config.training.snapshot_freq == 0) or step == n_iters:
+            save_idx = step // config.training.snapshot_freq
+            ckpt.save_numbered(jax.device_get(state), save_idx)
+            if snapshot_sampling:
+                mols = _sample_with_ema(sampling_fn, state, seed=step)
+                _log_snapshot_metrics(config, step, mols, edm_metric, edm_metric_2d)
+
+    return state, last_metrics
+
+
+def _sample_with_ema(sampling_fn, state, seed=0):
+    out = sampling_fn({"params": state.ema_params["params"]}, seed=seed)
+    return out[0] if isinstance(out, tuple) else out
+
+
+def _log_snapshot_metrics(config, step, mols, edm_metric, edm_metric_2d):
+    if config.only_2D:
+        stab, rd, _ = edm_metric_2d(mols)
+        logging.info(
+            "step: %d, n_mol: %d, 2D atom stability: %.4f, mol stability: %.4f, "
+            "validity: %s", step, len(mols), stab["atom_stable"],
+            stab["mol_stable"], rd["Validity"],
+        )
+        return
+    stab, rd, _ = edm_metric(mols)
+    logging.info(
+        "step: %d, n_mol: %d, 3D atom stability: %.4f, mol stability: %.4f, "
+        "validity: %s", step, len(mols), stab["atom_stable"], stab["mol_stable"],
+        rd["Validity"],
+    )
+    stab2, rd2, _ = edm_metric_2d(mols)
+    logging.info(
+        "step: %d, 2D atom stability: %.4f, mol stability: %.4f, validity: %s",
+        step, stab2["atom_stable"], stab2["mol_stable"], rd2["Validity"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# public train / evaluate entry points
+# ---------------------------------------------------------------------------
+
+
+def train(config, workdir: str):
+    """Train per config.exp_type (reference run_lib.py:1065-1066)."""
+    if config.exp_type not in (
+        "vpsde", "vpsde_edge", "vpsde_edge_cond", "vpsde_edge_cond_multi"
+    ):
+        raise ValueError(f"Unknown exp_type {config.exp_type}")
+    return run_train_loop(config, workdir)
+
+
+def evaluate(config, workdir: str, eval_folder: str = "eval"):
+    """Sample + score checkpoints (reference run_lib.py:163-277,635-1046)."""
+    eval_dir = os.path.join(workdir, eval_folder)
+    os.makedirs(eval_dir, exist_ok=True)
+    parts = build_training(config)
+    ckpt = CheckpointManager(workdir)
+    info = parts["info"]
+    cond = "cond" in config.exp_type
+
+    if cond:
+        _, train_ds, _, test_ds = parts["datasets"]
+    else:
+        train_ds, _, test_ds = parts["datasets"]
+
+    ckpts = config.eval.ckpts
+    if ckpts:
+        ckpt_ids = [int(c) for c in str(ckpts).split(",")]
+    else:
+        ckpt_ids = list(range(config.eval.begin_ckpt, config.eval.end_ckpt + 1))
+
+    train_mols = _dataset_tuples(train_ds)
+    test_mols = _dataset_tuples(test_ds)
+    edm_metric = get_edm_metric(info)
+    edm_metric_2d = get_2d_edm_metric(info)
+    moses_metric = get_moses_metrics(_rdmols_or_none(test_ds))
+    sub_geo_metric = None
+    if (not config.only_2D) and config.eval.sub_geometry:
+        sub_geo_metric = get_sub_geometry_metric(test_mols, info, config.data.root)
+
+    if cond:
+        classifiers = _load_classifiers(config)
+        sampling_fn = make_cond_sampling_eval_fn(
+            config, parts["schedule"], parts["model"], parts["nodes_dist"],
+            config.eval.batch_size, config.eval.num_samples, parts["pad_n"],
+            parts["prop_dist"], parts["prop_norm"], classifiers,
+        )
+    else:
+        sampling_fn = make_sampling_fn(
+            config, parts["schedule"], parts["model"], parts["nodes_dist"],
+            config.eval.batch_size, config.eval.num_samples, parts["pad_n"],
+        )
+
+    results = {}
+    state = init_state(config, parts)
+    for ck in ckpt_ids:
+        state = ckpt.restore_numbered(state, ck)
+        logging.info("Sampling -- ckpt: %d", ck)
+        t0 = time.perf_counter()
+        out = sampling_fn({"params": state.ema_params["params"]}, seed=config.seed)
+        if cond:
+            mols, maes = out
+        else:
+            mols, maes = out, None
+        elapsed = time.perf_counter() - t0
+        res = {"mols_per_sec": len(mols) / elapsed}
+
+        if config.only_2D:
+            stab, rd, rdmols = edm_metric_2d(mols)
+            res.update({f"2D_{k}": v for k, v in {**stab, **rd}.items()})
+            res.update(moses_metric(rdmols))
+        else:
+            stab, rd, rdmols = edm_metric(mols)
+            res.update({f"3D_{k}": v for k, v in {**stab, **rd}.items()})
+            stab2, rd2, rdmols2 = edm_metric_2d(mols)
+            res.update({f"2D_{k}": v for k, v in {**stab2, **rd2}.items()})
+            res.update(moses_metric(rdmols2))
+            if sub_geo_metric is not None:
+                res.update(sub_geo_metric(mols))
+        if maes is not None:
+            for i, m in enumerate(maes):
+                res[f"property_mae_{i}"] = m
+
+        if config.eval.save_graph:
+            path = os.path.join(
+                eval_dir,
+                f"{config.sampling.method}_ckpt_{ck}_{config.seed}.pkl",
+            )
+            with open(path, "wb") as f:
+                pickle.dump(mols, f)
+
+        logging.info("ckpt %d results: %s", ck, res)
+        results[ck] = res
+    return results
+
+
+def _dataset_tuples(ds):
+    """MolData -> decoded tuples for metric target statistics."""
+    out = []
+    for i in range(len(ds)):
+        a0, a1 = ds.atom_offsets[i], ds.atom_offsets[i + 1]
+        n = a1 - a0
+        et = np.zeros((n, n), np.int64)
+        b0, b1 = ds.bond_offsets[i], ds.bond_offsets[i + 1]
+        et[ds.bond_src[b0:b1], ds.bond_dst[b0:b1]] = ds.bond_type[b0:b1]
+        out.append(
+            (
+                ds.pos[a0:a1] if ds.pos is not None else None,
+                ds.atom_type[a0:a1].astype(np.int64),
+                et,
+                ds.formal_charge[a0:a1].astype(np.int64),
+            )
+        )
+    return out
+
+
+def _rdmols_or_none(ds):
+    return ds.rdmols if ds.rdmols is not None else []
+
+
+def _load_classifiers(config):
+    """Frozen property classifiers; random-initialised EGNNs when no
+    pretrained checkpoints are configured (scores then only exercise the
+    pipeline, as flagged in the logs)."""
+    n_props = 1 if config.exp_type == "vpsde_edge_cond" else 2
+    clfs = []
+    for i in range(n_props):
+        model = EGNNRegressor(in_node_nf=config.data.atom_types)
+        ckpt_path = getattr(config.eval, f"classifier_ckpt_{i}", "")
+        if ckpt_path and os.path.exists(ckpt_path):
+            from .cond import load_torch_egnn_params
+
+            params = load_torch_egnn_params(ckpt_path)
+        else:
+            logging.warning(
+                "No pretrained property classifier %d; using random init", i
+            )
+            b, n = 2, pad_nodes(config)
+            params = jax.jit(model.init)(
+                jax.random.PRNGKey(i),
+                jnp.zeros((b, n, config.data.atom_types)),
+                jnp.zeros((b, n, 3)), jnp.ones((b, n)), jnp.ones((b, n, n)),
+            )
+        clfs.append(make_classifier_fn(model, params))
+    return clfs
