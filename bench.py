@@ -40,6 +40,8 @@ def main():
     cfg = get_config("qm9_uncond_jodo")
     cfg.sampling.steps = steps
     cfg.model.dropout = 0.0
+    cfg.tpu.compute_dtype = os.environ.get("JODO_BENCH_DTYPE", "bfloat16")
+    cfg.tpu.use_pallas = os.environ.get("JODO_BENCH_PALLAS", "1") == "1"
     pad_n = 32
 
     model = create_model(cfg)

@@ -10,6 +10,20 @@ from .egnn import EGNNRegressor
 from .node_distribution import DistributionNodes, get_node_dist
 
 
+def _compute_dtype(config) -> str:
+    try:
+        return str(config.tpu.compute_dtype)
+    except AttributeError:
+        return "float32"
+
+
+def _use_pallas(config) -> bool:
+    try:
+        return bool(config.tpu.use_pallas)
+    except AttributeError:
+        return False
+
+
 def create_model(config):
     """Instantiate the denoiser flax module described by `config.model`.
 
@@ -40,6 +54,8 @@ def create_model(config):
         dropout=m.dropout,
         edge_quan_th=m.edge_quan_th,
         time_dim=int(getattr(m, "time_dim", 0) or 0),
+        compute_dtype=_compute_dtype(config),
+        use_pallas=_use_pallas(config),
     )
     if name == "DGT":
         return DGT(

@@ -45,28 +45,31 @@ class EquivariantCoordUpdate(nn.Module):
 
     hidden_dim: int
     extra_heads: int = 0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, h, pos, edge_feat, dist_feat, edge_mask, time_emb, extra_adj):
         b, n, _ = pos.shape
+        dt = self.dtype
         # Dense([h_i, h_j, e_ij, d_ij]) factored into per-node matmuls +
         # broadcast adds: W1 h_i + W2 h_j + W3 e + W4 d + bias. Exactly the
         # same affine map as the concat formulation but O(B N D^2) instead
         # of O(B N^2 D^2) FLOPs for the node terms.
-        y_i = nn.Dense(self.hidden_dim, name="input_lin_i")(h)  # carries bias
-        y_j = nn.Dense(self.hidden_dim, use_bias=False, name="input_lin_j")(h)
-        y_e = nn.Dense(self.hidden_dim, use_bias=False, name="input_lin_e")(edge_feat)
-        y_d = nn.Dense(self.hidden_dim, use_bias=False, name="input_lin_d")(dist_feat)
+        y_i = nn.Dense(self.hidden_dim, dtype=dt, name="input_lin_i")(h)  # carries bias
+        y_j = nn.Dense(self.hidden_dim, use_bias=False, dtype=dt, name="input_lin_j")(h)
+        y_e = nn.Dense(self.hidden_dim, use_bias=False, dtype=dt, name="input_lin_e")(edge_feat)
+        y_d = nn.Dense(self.hidden_dim, use_bias=False, dtype=dt, name="input_lin_d")(dist_feat)
         inp = y_i[:, :, None, :] + y_j[:, None, :, :] + y_e + y_d
         inv = layer_norm(inp)
         if time_emb is not None:
-            ss = nn.Dense(self.hidden_dim * 2, name="time_mlp")(nn.silu(time_emb))
+            ss = nn.Dense(self.hidden_dim * 2, dtype=dt, name="time_mlp")(nn.silu(time_emb))
             shift, scale = jnp.split(ss, 2, axis=-1)
             inv = modulate(inv, shift, scale)
-        inv = nn.Dense(self.hidden_dim, name="coord_mlp_0")(inv)
+        inv = nn.Dense(self.hidden_dim, dtype=dt, name="coord_mlp_0")(inv)
         inv = nn.silu(inv)
-        inv = nn.Dense(1 + self.extra_heads, use_bias=False, name="coord_mlp_1")(inv)
-        inv = jnp.tanh(inv)
+        inv = nn.Dense(1 + self.extra_heads, use_bias=False, dtype=dt, name="coord_mlp_1")(inv)
+        # position update math stays f32 for geometric precision
+        inv = jnp.tanh(inv).astype(jnp.float32)
 
         if self.extra_heads > 0 and extra_adj is not None:
             if extra_adj.shape[-1] != self.extra_heads:
@@ -106,6 +109,8 @@ class DGTBlock(nn.Module):
     mlp_ratio: int = 2
     dropout: float = 0.0
     gbf_name: str = "CondGaussianLayer"
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -132,15 +137,15 @@ class DGTBlock(nn.Module):
                 )
             else:
                 dist_feat = sq_dist
-            edge_attr = nn.Dense(self.edge_dim, name="edge_emb")(
-                jnp.concatenate([dist_feat, edge_attr], axis=-1)
+            edge_attr = nn.Dense(self.edge_dim, dtype=self.dtype, name="edge_emb")(
+                jnp.concatenate([dist_feat.astype(self.dtype), edge_attr], axis=-1)
             )
 
         if self.cond_time:
-            n_mod = nn.Dense(self.node_dim * 6, name="node_time_mlp")(
+            n_mod = nn.Dense(self.node_dim * 6, dtype=self.dtype, name="node_time_mlp")(
                 nn.silu(node_time_emb)
             )
-            e_mod = nn.Dense(self.edge_dim * 6, name="edge_time_mlp")(
+            e_mod = nn.Dense(self.edge_dim * 6, dtype=self.dtype, name="edge_time_mlp")(
                 nn.silu(edge_time_emb)
             )
             (ns_msa, nsc_msa, ng_msa, ns_mlp, nsc_mlp, ng_mlp) = jnp.split(n_mod, 6, -1)
@@ -157,16 +162,18 @@ class DGTBlock(nn.Module):
             extra_heads=self.extra_heads,
             softmax_inf=self.softmax_inf,
             dropout=self.dropout,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="attn",
         )(h, edge_attr, edge_mask, extra_adj, deterministic)
 
         # Dense(h_i + h_j) == Wh_i + Wh_j + b: apply the matmul per node
         # ([B,N,D] rows) and broadcast-add, instead of a [B,N,N,D] matmul
-        y = nn.Dense(self.edge_dim, use_bias=False, name="node2edge_lin")(h_node)
+        y = nn.Dense(self.edge_dim, use_bias=False, dtype=self.dtype, name="node2edge_lin")(h_node)
         n2e_bias = self.param(
             "node2edge_bias", nn.initializers.zeros, (self.edge_dim,)
         )
-        h_edge = y[:, :, None, :] + y[:, None, :, :] + n2e_bias
+        h_edge = y[:, :, None, :] + y[:, None, :, :] + n2e_bias.astype(self.dtype)
 
         nm = node_mask[..., None]
         if self.cond_time:
@@ -176,7 +183,8 @@ class DGTBlock(nn.Module):
                 h_node
                 + modulate_gate(
                     ng_mlp,
-                    GatedFFN(self.node_dim, self.mlp_ratio, self.dropout, name="ff_node")(
+                    GatedFFN(self.node_dim, self.mlp_ratio, self.dropout,
+                             dtype=self.dtype, name="ff_node")(
                         h_node, deterministic
                     ),
                 )
@@ -185,7 +193,8 @@ class DGTBlock(nn.Module):
             h_edge = modulate(layer_norm(h_edge), es_mlp, esc_mlp)
             e_out = h_edge + modulate_gate(
                 eg_mlp,
-                GatedFFN(self.edge_dim, self.mlp_ratio, self.dropout, name="ff_edge")(
+                GatedFFN(self.edge_dim, self.mlp_ratio, self.dropout,
+                         dtype=self.dtype, name="ff_edge")(
                     h_edge, deterministic
                 ),
                 pair=True,
@@ -195,19 +204,22 @@ class DGTBlock(nn.Module):
             h_node = layer_norm(h_node) * nm
             h_out = (
                 h_node
-                + GatedFFN(self.node_dim, self.mlp_ratio, self.dropout, name="ff_node")(
+                + GatedFFN(self.node_dim, self.mlp_ratio, self.dropout,
+                           dtype=self.dtype, name="ff_node")(
                     h_node, deterministic
                 )
             ) * nm
             h_edge = e_in + h_edge
             h_edge = layer_norm(h_edge)
             e_out = h_edge + GatedFFN(
-                self.edge_dim, self.mlp_ratio, self.dropout, name="ff_edge"
+                self.edge_dim, self.mlp_ratio, self.dropout,
+                dtype=self.dtype, name="ff_edge"
             )(h_edge, deterministic)
 
         if self.equivariant:
             pos = EquivariantCoordUpdate(
-                self.node_dim, self.extra_heads, name="equi_update"
+                self.node_dim, self.extra_heads, dtype=self.dtype,
+                name="equi_update"
             )(h_out, pos, e_out, dist_feat, edge_mask, edge_time_emb, extra_adj)
 
         return h_out, e_out, pos
@@ -245,6 +257,8 @@ class DGT(nn.Module):
     equivariant: bool = True
     time_dim: int = 0  # 0 => hidden_dim * 4
     cond_ch: int = 0  # number of conditional properties
+    compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic
+    use_pallas: bool = False  # fused edge-attention kernel
 
     @nn.compact
     def __call__(
@@ -262,6 +276,7 @@ class DGT(nn.Module):
         deterministic=True,
     ):
         b, n = xh.shape[0], xh.shape[1]
+        dt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         edge_hidden = self.hidden_dim // 4
         time_dim = self.time_dim or self.hidden_dim * 4
         dist_dim = edge_hidden if self.dist_gbf else 1
@@ -298,13 +313,13 @@ class DGT(nn.Module):
         ctx_emb = None
         if self.cond_ch > 0 and context is not None:
             c = context[..., None]  # [B, P, 1]
-            c = nn.Dense(self.hidden_dim, name="cond_mlp_0")(c)
+            c = nn.Dense(self.hidden_dim, dtype=dt, name="cond_mlp_0")(c)
             c = nn.gelu(c)
-            c = nn.Dense(self.hidden_dim, name="cond_mlp_1")(c)
-            ctx_emb = nn.Dense(time_dim, name="cond_lin")(c.reshape(b, -1))
+            c = nn.Dense(self.hidden_dim, dtype=dt, name="cond_mlp_1")(c)
+            ctx_emb = nn.Dense(time_dim, dtype=dt, name="cond_lin")(c.reshape(b, -1))
 
         if self.cond_time:
-            time_emb = TimeMLP(time_dim, name="time_mlp")(noise_level)
+            time_emb = TimeMLP(time_dim, dtype=dt, name="time_mlp")(noise_level)
             if ctx_emb is not None:
                 time_emb = time_emb + ctx_emb
             node_time_emb = time_emb
@@ -338,8 +353,8 @@ class DGT(nn.Module):
         if self.extra_heads == 0:
             extra_adj = None
 
-        h = nn.Dense(self.hidden_dim, name="node_emb")(h)
-        edge_attr = nn.Dense(edge_hidden, name="edge_emb")(edge_attr)
+        h = nn.Dense(self.hidden_dim, dtype=dt, name="node_emb")(h)
+        edge_attr = nn.Dense(edge_hidden, dtype=dt, name="edge_emb")(edge_attr)
 
         cat_node_dim = (self.hidden_dim * 2) // self.n_layers
         cat_edge_dim = (edge_hidden * 2) // self.n_layers
@@ -359,6 +374,8 @@ class DGT(nn.Module):
                 mlp_ratio=self.mlp_ratio,
                 dropout=self.dropout,
                 gbf_name=self.gbf_name,
+                dtype=dt,
+                use_pallas=self.use_pallas,
                 name=f"e_block_{i}",
             )(
                 pos,
@@ -373,20 +390,20 @@ class DGT(nn.Module):
             )
             if self.equivariant and self.com_each_layer:
                 pos = remove_mean_with_mask(pos, node_mask)
-            atom_hids.append(nn.Dense(cat_node_dim, name=f"node_{i}")(h))
-            edge_hids.append(nn.Dense(cat_edge_dim, name=f"edge_{i}")(edge_attr))
+            atom_hids.append(nn.Dense(cat_node_dim, dtype=dt, name=f"node_{i}")(h))
+            edge_hids.append(nn.Dense(cat_edge_dim, dtype=dt, name=f"edge_{i}")(edge_attr))
 
         atom_cat = jnp.concatenate(atom_hids, axis=-1)
         edge_cat = jnp.concatenate(edge_hids, axis=-1)
 
         atom_pred = _readout_mlp(
-            atom_cat, self.hidden_dim, self.in_node_dim, name="node_pred_mlp"
-        ) * node_mask[..., None]
-        edge_exist = _readout_mlp(edge_cat, edge_hidden, 1, name="edge_exist_mlp")
+            atom_cat, self.hidden_dim, self.in_node_dim, dt, name="node_pred_mlp"
+        ).astype(jnp.float32) * node_mask[..., None]
+        edge_exist = _readout_mlp(edge_cat, edge_hidden, 1, dt, name="edge_exist_mlp")
         edge_type = _readout_mlp(
-            edge_cat, edge_hidden, self.edge_ch - 1, name="edge_type_mlp"
+            edge_cat, edge_hidden, self.edge_ch - 1, dt, name="edge_type_mlp"
         )
-        edge_pred = jnp.concatenate([edge_exist, edge_type], axis=-1)
+        edge_pred = jnp.concatenate([edge_exist, edge_type], axis=-1).astype(jnp.float32)
         edge_pred = edge_pred * edge_mask[..., None]
         edge_pred = 0.5 * (edge_pred + jnp.swapaxes(edge_pred, 1, 2))
 
@@ -405,10 +422,10 @@ class DGT(nn.Module):
         return jnp.concatenate([pos, atom_pred], axis=2), edge_pred
 
 
-def _readout_mlp(x, hidden, out_dim, name):
+def _readout_mlp(x, hidden, out_dim, dtype, name):
     """Skip-concat readout head (mol_gnn.py:459-479)."""
-    y = nn.Dense(hidden, name=f"{name}_0")(x)
+    y = nn.Dense(hidden, dtype=dtype, name=f"{name}_0")(x)
     y = nn.silu(y)
-    y = nn.Dense(hidden // 2, name=f"{name}_1")(y)
+    y = nn.Dense(hidden // 2, dtype=dtype, name=f"{name}_1")(y)
     y = nn.silu(y)
-    return nn.Dense(out_dim, name=f"{name}_2")(y)
+    return nn.Dense(out_dim, dtype=dtype, name=f"{name}_2")(y)

@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas_attn import fused_edge_attention
+
 NEG_MASK = -1e30  # non-edges (lower than the extra-head -1e10 sentinel)
 NEG_EXTRA = -1e10
 
@@ -53,13 +55,14 @@ class TimeMLP(nn.Module):
 
     time_dim: int
     learned_dim: int = 16
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, noise_level):
         x = LearnedSinusoidalEmb(self.learned_dim)(noise_level)
-        x = nn.Dense(self.time_dim)(x)
+        x = nn.Dense(self.time_dim, dtype=self.dtype)(x)
         x = nn.gelu(x)
-        return nn.Dense(self.time_dim)(x)
+        return nn.Dense(self.time_dim, dtype=self.dtype)(x)
 
 
 def _gaussian_basis(x, mean, std):
@@ -140,6 +143,8 @@ class DenseTransMixLayer(nn.Module):
 
     Dense re-design of TransMixLayer (models/layers.py:92-191); with
     extra_heads == 0 it degenerates to Trans_Layer (models/layers.py:13-89).
+    Matmuls/elementwise run in `dtype` (bf16 halves the HBM traffic of the
+    [B,N,N,C] tensors); logits/softmax accumulate in f32.
     """
 
     node_dim: int
@@ -147,6 +152,8 @@ class DenseTransMixLayer(nn.Module):
     extra_heads: int = 0
     softmax_inf: bool = True
     dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h, edge_attr, edge_mask, extra_adj=None, deterministic=True):
@@ -159,24 +166,61 @@ class DenseTransMixLayer(nn.Module):
         sub_ch = (heads * out_ch) // sub_heads
 
         b, n = h.shape[0], h.shape[1]
-        q = nn.Dense(sub_heads * sub_ch, name="lin_query")(h).reshape(b, n, sub_heads, sub_ch)
-        k = nn.Dense(sub_heads * sub_ch, name="lin_key")(h).reshape(b, n, sub_heads, sub_ch)
-        v = nn.Dense(heads * out_ch, name="lin_value")(h).reshape(b, n, heads, out_ch)
+        dt = self.dtype
+        q = nn.Dense(sub_heads * sub_ch, dtype=dt, name="lin_query")(h)
+        k = nn.Dense(sub_heads * sub_ch, dtype=dt, name="lin_key")(h)
+        v = nn.Dense(heads * out_ch, dtype=dt, name="lin_value")(h)
 
-        ea = nn.Dense(sub_heads * sub_ch, use_bias=False, name="lin_edge0")(edge_attr)
-        ea = jnp.tanh(ea).reshape(b, n, n, sub_heads, sub_ch)
-        ev = nn.Dense(heads * out_ch, use_bias=False, name="lin_edge1")(edge_attr)
-        ev = jnp.tanh(ev).reshape(b, n, n, heads, out_ch)
-
-        # logits over neighbours j for target i
-        logits = jnp.einsum("bihc,bjhc,bijhc->bhij", q, k, ea) / math.sqrt(out_ch)
+        # edge-gate projections as raw kernels so the fused Pallas path can
+        # run them on-chip without materialising the gates to HBM
+        kernel_init = nn.initializers.lecun_normal()
+        w0 = self.param(
+            "lin_edge0_kernel", kernel_init,
+            (edge_attr.shape[-1], sub_heads * sub_ch),
+        )
+        w1 = self.param(
+            "lin_edge1_kernel", kernel_init,
+            (edge_attr.shape[-1], heads * out_ch),
+        )
 
         if extra > 0:
             assert extra_adj is not None
             x_ch = extra_adj.shape[-1]
             if x_ch != extra:
                 extra_adj = jnp.repeat(extra_adj, extra // x_ch, axis=-1)
-            extra_logits = jnp.moveaxis(extra_adj, -1, 1)  # [B, extra, N, N]
+
+        # fused kernel is forward-only (no VJP defined): inference path only
+        use_fused = self.use_pallas and deterministic
+        if use_fused:
+            interpret = jax.default_backend() != "tpu"
+            out = fused_edge_attention(
+                q, k, v, edge_attr.astype(dt),
+                extra_adj if extra > 0 else None,
+                edge_mask, w0.astype(dt), w1.astype(dt),
+                sub_heads=sub_heads, sub_ch=sub_ch, heads=heads,
+                out_ch=out_ch, extra_heads=extra,
+                softmax_inf=self.softmax_inf, interpret=interpret,
+            )
+            return out
+
+        q = q.reshape(b, n, sub_heads, sub_ch)
+        k = k.reshape(b, n, sub_heads, sub_ch)
+        v = v.reshape(b, n, heads, out_ch)
+        ea = jnp.tanh(edge_attr.astype(dt) @ w0.astype(dt))
+        ea = ea.reshape(b, n, n, sub_heads, sub_ch)
+        ev = jnp.tanh(edge_attr.astype(dt) @ w1.astype(dt))
+        ev = ev.reshape(b, n, n, heads, out_ch)
+
+        # logits over neighbours j for target i (f32 accumulation)
+        logits = jnp.einsum(
+            "bihc,bjhc,bijhc->bhij", q, k, ea,
+            preferred_element_type=jnp.float32,
+        ) / math.sqrt(out_ch)
+
+        if extra > 0:
+            extra_logits = jnp.moveaxis(
+                extra_adj.astype(jnp.float32), -1, 1
+            )  # [B, extra, N, N]
             if self.softmax_inf:
                 extra_logits = jnp.where(extra_logits == 0.0, NEG_EXTRA, extra_logits)
             # extra heads come first (models/layers.py:174-176)
@@ -186,7 +230,10 @@ class DenseTransMixLayer(nn.Module):
         if self.dropout > 0.0 and not deterministic:
             alpha = nn.Dropout(self.dropout)(alpha, deterministic=False)
 
-        out = jnp.einsum("bhij,bjhc,bijhc->bihc", alpha, v, ev)
+        out = jnp.einsum(
+            "bhij,bjhc,bijhc->bihc", alpha.astype(self.dtype), v, ev,
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
         return out.reshape(b, n, heads * out_ch)
 
 
@@ -196,13 +243,14 @@ class GatedFFN(nn.Module):
     dim: int
     mlp_ratio: int = 2
     dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        y = nn.Dense(self.dim * self.mlp_ratio)(x)
+        y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype)(x)
         y = nn.silu(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        y = nn.Dense(self.dim)(y)
+        y = nn.Dense(self.dim, dtype=self.dtype)(y)
         return nn.Dropout(self.dropout)(y, deterministic=deterministic)
 
 
@@ -218,7 +266,9 @@ def modulate(x, shift, scale):
 
 def layer_norm(x):
     """Affine-free LayerNorm, eps 1e-6 (matching nn.LayerNorm(...,
-    elementwise_affine=False, eps=1e-6) in the reference blocks)."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + 1e-6)
+    elementwise_affine=False, eps=1e-6) in the reference blocks).
+    Statistics in f32 regardless of the stream dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
