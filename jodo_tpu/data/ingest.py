@@ -215,10 +215,17 @@ def compute_mean_mad(values: np.ndarray):
 # ---------------------------------------------------------------------------
 
 def load_geom(root: str, processed_file: str = "data_geom_drug_1.pt") -> MolData:
-    """Load the prebuilt GEOM tensor list (torch serialisation)."""
+    """Load prebuilt GEOM data: our .npz archive or the reference's torch
+    .pt list (either name is accepted; .npz preferred when both exist)."""
+    info = get_dataset_info("geom_with_h_1")
+    npz_path = os.path.join(root, processed_file.replace(".pt", ".npz"))
+    if os.path.exists(npz_path):
+        from .build_geom import load_moldata_npz
+
+        return load_moldata_npz(npz_path, info)
+
     import torch
 
-    info = get_dataset_info("geom_with_h_1")
     path = os.path.join(root, processed_file)
     if not os.path.exists(path):
         raise FileNotFoundError(

@@ -1,0 +1,138 @@
+"""Standalone cross-method benchmark CLI: score any pickle of molecules.
+
+The reference's `eval_rdkit_pkl.py` is the oracle used to compare methods
+(README.md:82-106): load a pickle of RDKit mols (or decoded tuples), score
+it with the same stability / RDKit / MOSES / sub-geometry stack. Usage:
+
+  python -m jodo_tpu.eval_pkl --pkl_path mols.pkl --dataset_name qm9 \
+      --type 3D [--sub_geometry] [--root_path data/]
+
+Accepts two pickle payloads:
+  * a list of RDKit mols (the reference's format) — requires rdkit
+  * a list of decoded tuples (pos, atom_type, edge_type, fc) — rdkit-free
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+
+import numpy as np
+
+from .data.datasets_info import get_dataset_info
+from .evaluation import (
+    get_2d_edm_metric,
+    get_edm_metric,
+    get_moses_metrics,
+    get_sub_geometry_metric,
+)
+
+try:
+    from rdkit import Chem, RDLogger
+
+    RDLogger.DisableLog("rdApp.*")
+    HAS_RDKIT = True
+except ImportError:
+    HAS_RDKIT = False
+
+
+def rdmol_to_tuple(mol, dataset_info, only_2d=False):
+    """RDKit mol -> decoded tuple (reference eval_rdkit_pkl.py:13-42)."""
+    from rdkit.Chem.rdchem import BondType as BT
+
+    bond_encoder = {BT.SINGLE: 1, BT.DOUBLE: 2, BT.TRIPLE: 3, BT.AROMATIC: 4}
+    enc = dataset_info["atom_encoder"]
+    n = mol.GetNumAtoms()
+    atom_type = np.array([enc[a.GetSymbol()] for a in mol.GetAtoms()], np.int64)
+    pos = None
+    if not only_2d:
+        pos = np.asarray(mol.GetConformer().GetPositions(), np.float64)
+    edge_types = np.zeros((n, n), np.int64)
+    for bond in mol.GetBonds():
+        s, e = bond.GetBeginAtomIdx(), bond.GetEndAtomIdx()
+        order = bond_encoder[bond.GetBondType()]
+        edge_types[s, e] = edge_types[e, s] = order
+    fc = np.array([a.GetFormalCharge() for a in mol.GetAtoms()], np.int64)
+    return (pos, atom_type, edge_types, fc)
+
+
+def load_samples(path, dataset_info, only_2d=False):
+    with open(path, "rb") as f:
+        samples = pickle.load(f)
+    if not samples:
+        raise ValueError("empty pickle")
+    first = samples[0]
+    if isinstance(first, (tuple, list)):
+        return list(samples)
+    if not HAS_RDKIT:
+        raise ImportError("pickle contains RDKit mols but rdkit is unavailable")
+    return [rdmol_to_tuple(m, dataset_info, only_2d) for m in samples]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Score a pickle of molecules")
+    parser.add_argument("--pkl_path", required=True)
+    parser.add_argument("--dataset_name", default="qm9",
+                        choices=["qm9", "Geom_Drugs"])
+    parser.add_argument("--type", default="3D", choices=["3D", "2D", "both"])
+    parser.add_argument("--sub_geometry", action="store_true")
+    parser.add_argument("--root_path", default="data/")
+    args = parser.parse_args(argv)
+
+    if args.dataset_name == "qm9":
+        info = get_dataset_info("qm9_with_h")
+        root = args.root_path + "QM9"
+    else:
+        info = get_dataset_info("geom_with_h_1")
+        root = args.root_path + "geom"
+
+    # train/test molecules for novelty / MOSES / geometry targets, when the
+    # dataset is present on disk (otherwise those metrics degrade gracefully)
+    train_mols = test_tuples = None
+    try:
+        from .configs import get_config
+        from .data import get_dataset
+        from .run_lib import _dataset_tuples
+
+        cfg = get_config("qm9_uncond_jodo" if args.dataset_name == "qm9"
+                         else "geom_uncond_jodo")
+        cfg.data.root = root
+        train_ds, _, test_ds, _ = get_dataset(cfg, synthetic_fallback=False)
+        test_tuples = _dataset_tuples(test_ds)
+    except Exception:
+        pass
+
+    samples = load_samples(args.pkl_path, info, only_2d=(args.type == "2D"))
+    print(f"Loaded {len(samples)} molecules from {args.pkl_path}")
+
+    moses_metric = get_moses_metrics([] if test_tuples is None else [])
+
+    if args.type in ("3D", "both"):
+        metric = get_edm_metric(info, train_mols)
+        stab, rd, rdmols = metric(samples)
+        print("Metric-3D || atom stability: %.4f, mol stability: %.4f, "
+              "validity: %s, complete: %s" % (
+                  stab["atom_stable"], stab["mol_stable"],
+                  rd["Validity"], rd["Complete"]))
+        mose_res = moses_metric(rdmols)
+        print("Metric-3D || FCD:", mose_res.get("FCD"))
+        if args.sub_geometry and test_tuples is not None:
+            geo = get_sub_geometry_metric(test_tuples, info, root)(samples)
+            print("Metric-Align || Bond Length MMD: %.4f, Bond Angle MMD: %.4f,"
+                  " Dihedral Angle MMD: %.6f" % (
+                      geo["bond_length_mean"], geo["bond_angle_mean"],
+                      geo["dihedral_angle_mean"]))
+
+    if args.type in ("2D", "both"):
+        metric2d = get_2d_edm_metric(info, train_mols)
+        stab, rd, rdmols = metric2d(samples)
+        print("Metric-2D || atom stability: %.4f, mol stability: %.4f, "
+              "validity: %s, complete: %s, unique: %s, novelty: %s" % (
+                  stab["atom_stable"], stab["mol_stable"], rd["Validity"],
+                  rd["Complete"], rd["Unique"], rd["Novelty"]))
+        mose_res = moses_metric(rdmols)
+        print("Metric-2D || FCD:", mose_res.get("FCD"))
+
+
+if __name__ == "__main__":
+    main()

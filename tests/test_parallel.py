@@ -1,0 +1,78 @@
+"""Multi-device data parallelism on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jodo_tpu import run_lib
+from jodo_tpu.configs import get_config
+from jodo_tpu.parallel import batch_sharding, make_mesh, replicate_state, shard_batch
+
+
+def tiny_cfg():
+    cfg = get_config("qm9_uncond_jodo")
+    cfg.model.nf = 32
+    cfg.model.n_layers = 2
+    cfg.model.n_heads = 4
+    cfg.model.dropout = 0.0
+    cfg.data.max_node = 12
+    cfg.tpu.pad_nodes = 16
+    cfg.training.batch_size = 16
+    cfg.optim.warmup = 5
+    return cfg
+
+
+def test_mesh_creation():
+    mesh = make_mesh("")
+    assert mesh is not None
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data",)
+    mesh2 = make_mesh("4")
+    assert mesh2.devices.size == 4
+
+
+def test_data_parallel_train_step_matches_single_device():
+    """Same batch, same key: the 8-way sharded step must produce the same
+    loss and parameters as the unsharded step (pure DP is exact)."""
+    cfg = tiny_cfg()
+    parts = run_lib.build_training(cfg)
+    state0 = run_lib.init_state(cfg, parts)
+    raw = next(iter(parts["loader"].epoch()))
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    key = jax.random.PRNGKey(0)
+
+    state_a, metrics_a = parts["train_step"](state0, batch, key)
+
+    mesh = make_mesh("")
+    state_b = run_lib.init_state(cfg, parts)
+    state_b = replicate_state(state_b, mesh)
+    sharded = shard_batch(batch, mesh)
+    # verify the batch really is sharded across 8 devices
+    assert len(sharded["xh" if "xh" in sharded else "positions"].sharding.device_set) == 8
+    state_b, metrics_b = parts["train_step"](state_b, sharded, key)
+
+    np.testing.assert_allclose(
+        float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-4
+    )
+    la = jax.tree.leaves(state_a.params)
+    lb = jax.tree.leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_sampling_round_under_mesh():
+    """The jitted sampling round runs with device-put sharded n_nodes."""
+    from jodo_tpu.diffusion import NoiseSchedule
+    from jodo_tpu.sampling import make_round_fn
+
+    cfg = tiny_cfg()
+    cfg.sampling.steps = 3
+    parts = run_lib.build_training(cfg)
+    state = run_lib.init_state(cfg, parts)
+    mesh = make_mesh("")
+    round_fn = make_round_fn(cfg, parts["schedule"], parts["model"], parts["pad_n"])
+    n_nodes = shard_batch({"n": jnp.full((16,), 10, jnp.int32)}, mesh)["n"]
+    params = replicate_state(state.params, mesh)
+    out = round_fn(params, jax.random.PRNGKey(0), n_nodes)
+    assert np.isfinite(np.asarray(out[0])).all()
