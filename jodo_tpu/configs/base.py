@@ -114,6 +114,7 @@ def base_config() -> ml_collections.ConfigDict:
     evaluate.ckpts = ""
     evaluate.save_graph = False
     evaluate.sub_geometry = True
+    evaluate.reference_ckpt = ""  # path to a reference .pth to score directly
 
     # TPU-specific
     config.tpu = tpu = ml_collections.ConfigDict()

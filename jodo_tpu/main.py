@@ -57,8 +57,12 @@ def main(argv=None):
         else:
             i += 1
 
-    from .configs import get_config
+    from .configs import CONFIGS, get_config
 
+    if args.config not in CONFIGS:
+        parser.error(
+            f"unknown config '{args.config}'; available: {', '.join(sorted(CONFIGS))}"
+        )
     config = get_config(args.config)
     _apply_overrides(config, overrides)
 

@@ -64,8 +64,9 @@ __all__ = ["train", "evaluate", "build_training", "run_train_loop"]
 # ---------------------------------------------------------------------------
 
 
-def _prop_norm_for(config, data):
-    """Mean/MAD normalisers for the conditional experiment's properties."""
+def _prop_norm_for(config, train_data, norm_data):
+    """Property values from the training half + mean/MAD normalisers from
+    the VALIDATION split (reference protocol, run_lib.py:518)."""
     if "cond" not in config.exp_type:
         return None, None
     info_p2i = {"mu": 0, "alpha": 1, "homo": 2, "lumo": 3, "gap": 4, "Cv": 11}
@@ -74,9 +75,14 @@ def _prop_norm_for(config, data):
     else:
         props = [config.cond_property1, config.cond_property2]
     values = np.stack(
-        [compute_property_values(data, info_p2i[p]) for p in props], axis=1
+        [compute_property_values(train_data, info_p2i[p]) for p in props], axis=1
     )
-    prop_norm = {p: compute_mean_mad(values[:, i]) for i, p in enumerate(props)}
+    norm_values = np.stack(
+        [compute_property_values(norm_data, info_p2i[p]) for p in props], axis=1
+    )
+    prop_norm = {
+        p: compute_mean_mad(norm_values[:, i]) for i, p in enumerate(props)
+    }
     return prop_norm, values
 
 
@@ -93,7 +99,7 @@ def build_training(config, dataset=None, synthetic_fallback=True):
         train_ds, val_ds, test_ds, info = dataset
         first_train = None
 
-    prop_norm, prop_values = _prop_norm_for(config, train_ds)
+    prop_norm, prop_values = _prop_norm_for(config, train_ds, val_ds)
 
     model = create_model(config)
     schedule = NoiseSchedule.create(
@@ -102,7 +108,20 @@ def build_training(config, dataset=None, synthetic_fallback=True):
     scaler = DataScaler.from_config(config)
     loss_fn = losses_lib.make_loss_fn(schedule, config)
     tx = make_optimizer(config)
-    nodes_dist = get_node_dist(info, seed=config.seed)
+    # size prior: the static dataset histogram (reference semantics), unless
+    # the actual training data is truncated below it (synthetic fallback /
+    # restricted max_node) — then derive the histogram from the data so the
+    # sampler never requests sizes the property prior has no bins for
+    ds_max = int(train_ds.n_nodes.max())
+    if max(info["train_n_nodes"]) > ds_max:
+        import collections
+
+        from .models.node_distribution import DistributionNodes
+
+        hist = dict(collections.Counter(int(n) for n in train_ds.n_nodes))
+        nodes_dist = DistributionNodes(hist, seed=config.seed)
+    else:
+        nodes_dist = get_node_dist(info, seed=config.seed)
 
     prop_dist = None
     if cond:
@@ -295,8 +314,25 @@ def evaluate(config, workdir: str, eval_folder: str = "eval"):
     """Sample + score checkpoints (reference run_lib.py:163-277,635-1046)."""
     eval_dir = os.path.join(workdir, eval_folder)
     os.makedirs(eval_dir, exist_ok=True)
-    parts = build_training(config)
     ckpt = CheckpointManager(workdir)
+
+    # fail fast on missing checkpoints BEFORE any expensive compilation
+    reference_ckpt = str(getattr(config.eval, "reference_ckpt", "") or "")
+    if not reference_ckpt:
+        requested = (
+            [int(c) for c in str(config.eval.ckpts).split(",")]
+            if config.eval.ckpts
+            else list(range(config.eval.begin_ckpt, config.eval.end_ckpt + 1))
+        )
+        available = set(ckpt.available_checkpoints())
+        missing = sorted(set(requested) - available)
+        if missing:
+            raise FileNotFoundError(
+                f"Checkpoint(s) {missing} not found under {ckpt.ckpt_dir}; "
+                f"available: {sorted(available)}"
+            )
+
+    parts = build_training(config)
     info = parts["info"]
     cond = "cond" in config.exp_type
 
@@ -305,11 +341,11 @@ def evaluate(config, workdir: str, eval_folder: str = "eval"):
     else:
         train_ds, _, test_ds = parts["datasets"]
 
-    ckpts = config.eval.ckpts
-    if ckpts:
-        ckpt_ids = [int(c) for c in str(ckpts).split(",")]
-    else:
-        ckpt_ids = list(range(config.eval.begin_ckpt, config.eval.end_ckpt + 1))
+    ckpt_ids = (
+        [int(c) for c in str(config.eval.ckpts).split(",")]
+        if config.eval.ckpts
+        else list(range(config.eval.begin_ckpt, config.eval.end_ckpt + 1))
+    )
 
     train_mols = _dataset_tuples(train_ds)
     test_mols = _dataset_tuples(test_ds)
@@ -335,9 +371,21 @@ def evaluate(config, workdir: str, eval_folder: str = "eval"):
 
     results = {}
     state = init_state(config, parts)
+
+    if reference_ckpt:
+        # score a converted PyTorch reference checkpoint directly
+        from .compat import load_reference_checkpoint
+
+        params, ref_step = load_reference_checkpoint(reference_ckpt, config)
+        logging.info("Sampling -- reference ckpt %s (step %d)", reference_ckpt,
+                     ref_step)
+        state = state.replace(ema_params=params)
+        ckpt_ids = ["reference"]
+
     for ck in ckpt_ids:
-        state = ckpt.restore_numbered(state, ck)
-        logging.info("Sampling -- ckpt: %d", ck)
+        if ck != "reference":
+            state = ckpt.restore_numbered(state, ck)
+        logging.info("Sampling -- ckpt: %s", ck)
         t0 = time.perf_counter()
         out = sampling_fn({"params": state.ema_params["params"]}, seed=config.seed)
         if cond:
@@ -371,7 +419,7 @@ def evaluate(config, workdir: str, eval_folder: str = "eval"):
             with open(path, "wb") as f:
                 pickle.dump(mols, f)
 
-        logging.info("ckpt %d results: %s", ck, res)
+        logging.info("ckpt %s results: %s", ck, res)
         results[ck] = res
     return results
 
