@@ -134,9 +134,24 @@ def fused_edge_attention(
     extra_adj [B,N,N,XH] or None, edge_mask [B,N,N], w0 [E,SH*SC],
     w1 [E,H*C] -> out [B,N,H*C]."""
     b, n = q.shape[0], q.shape[1]
+    # adaptive i-tile: the kernel's VMEM working set is dominated by
+    # ~[tile_i, n, C_total] f32 buffers (ea/ev/qk/alpha_chan, C_total ~ 1k
+    # channels); keep it within a few MB of the 16MB VMEM
+    # ~1280 f32 channels across the live per-row buffers => n*5120 bytes/row;
+    # Mosaic additionally requires the sublane (i-tile) dim to be a multiple
+    # of 8 (or the full axis)
+    budget_rows = max(8, (4 * 1024 * 1024) // (n * 5120))
+    best = None
+    for cand in range(8, n + 1, 8):
+        if n % cand == 0 and cand <= min(tile_i, budget_rows):
+            best = cand
+    if best is None:
+        best = n if n <= budget_rows or n % 8 != 0 else 8
+    tile_i = best
+    num_tiles = n // tile_i if n % tile_i == 0 else 1
     if n % tile_i != 0:
-        tile_i = n  # single tile per molecule
-    num_tiles = n // tile_i
+        tile_i = n
+        num_tiles = 1
 
     if extra_adj is None:
         extra_adj = jnp.zeros((b, n, n, 1), q.dtype)
