@@ -34,7 +34,7 @@ def main():
     from jodo_tpu.data.datasets_info import QM9_WITH_H
     from jodo_tpu.sampling import make_round_fn
 
-    batch = int(os.environ.get("JODO_BENCH_BATCH", "512"))
+    batch = int(os.environ.get("JODO_BENCH_BATCH", "128"))
     steps = int(os.environ.get("JODO_BENCH_STEPS", "1000"))
 
     cfg = get_config("qm9_uncond_jodo")

@@ -123,22 +123,20 @@ def convert_dgt_state_dict(sd: Dict, config) -> Dict:
             w = full["kernel"]  # [2*hidden + edge_hidden + dist_dim, hidden]
             o1, o2 = hidden, 2 * hidden
             o3 = o2 + edge_hidden
+            c0 = _dense(sd, f"{eq_prefix}.coord_mlp.0")
             eq = {
                 "input_lin_i": {"kernel": w[:o1], "bias": full["bias"]},
                 "input_lin_j": {"kernel": w[o1:o2]},
-                "input_lin_e": {"kernel": w[o2:o3]},
-                "input_lin_d": {"kernel": w[o3 : o3 + dist_dim]},
-                "coord_mlp_0": _dense(sd, f"{eq_prefix}.coord_mlp.0"),
-                "coord_mlp_1": {
-                    "kernel": jnp.asarray(
-                        _np(sd[f"{eq_prefix}.coord_mlp.2.weight"]).T
-                    )
-                },
-                "coord_norm": {
-                    "scale": jnp.asarray(
-                        _np(sd[f"{eq_prefix}.coord_norm.scale"]).reshape(1)
-                    )
-                },
+                "input_lin_e_kernel": w[o2:o3],
+                "input_lin_d_kernel": w[o3 : o3 + dist_dim],
+                "coord_mlp_0_kernel": c0["kernel"],
+                "coord_mlp_0_bias": c0["bias"],
+                "coord_mlp_1_kernel": jnp.asarray(
+                    _np(sd[f"{eq_prefix}.coord_mlp.2.weight"]).T
+                ),
+                "coord_norm_scale": jnp.asarray(
+                    _np(sd[f"{eq_prefix}.coord_norm.scale"]).reshape(1)
+                ),
             }
             if f"{eq_prefix}.time_mlp.1.weight" in sd:
                 eq["time_mlp"] = _dense(sd, f"{eq_prefix}.time_mlp.1")

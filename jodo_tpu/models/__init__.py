@@ -24,6 +24,13 @@ def _use_pallas(config) -> bool:
         return False
 
 
+def _flag(config, name) -> bool:
+    try:
+        return bool(getattr(config.tpu, name))
+    except AttributeError:
+        return False
+
+
 def create_model(config):
     """Instantiate the denoiser flax module described by `config.model`.
 
@@ -56,6 +63,7 @@ def create_model(config):
         time_dim=int(getattr(m, "time_dim", 0) or 0),
         compute_dtype=_compute_dtype(config),
         use_pallas=_use_pallas(config),
+        use_pallas_equi=_flag(config, "use_pallas_equi"),
     )
     if name == "DGT":
         return DGT(

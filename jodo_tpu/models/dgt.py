@@ -46,45 +46,86 @@ class EquivariantCoordUpdate(nn.Module):
     hidden_dim: int
     extra_heads: int = 0
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False  # measured slower than XLA here; off by default
 
     @nn.compact
-    def __call__(self, h, pos, edge_feat, dist_feat, edge_mask, time_emb, extra_adj):
+    def __call__(self, h, pos, edge_feat, dist_feat, edge_mask, time_emb,
+                 extra_adj, deterministic=True):
         b, n, _ = pos.shape
         dt = self.dtype
+        hd = self.hidden_dim
         # Dense([h_i, h_j, e_ij, d_ij]) factored into per-node matmuls +
         # broadcast adds: W1 h_i + W2 h_j + W3 e + W4 d + bias. Exactly the
         # same affine map as the concat formulation but O(B N D^2) instead
-        # of O(B N^2 D^2) FLOPs for the node terms.
-        y_i = nn.Dense(self.hidden_dim, dtype=dt, name="input_lin_i")(h)  # carries bias
-        y_j = nn.Dense(self.hidden_dim, use_bias=False, dtype=dt, name="input_lin_j")(h)
-        y_e = nn.Dense(self.hidden_dim, use_bias=False, dtype=dt, name="input_lin_e")(edge_feat)
-        y_d = nn.Dense(self.hidden_dim, use_bias=False, dtype=dt, name="input_lin_d")(dist_feat)
-        inp = y_i[:, :, None, :] + y_j[:, None, :, :] + y_e + y_d
-        inv = layer_norm(inp)
+        # of O(B N^2 D^2) FLOPs for the node terms. The pair-side weights
+        # are raw kernels so the fused Pallas path can run them in VMEM.
+        kernel_init = nn.initializers.lecun_normal()
+        y_i = nn.Dense(hd, dtype=dt, name="input_lin_i")(h)  # carries bias
+        y_j = nn.Dense(hd, use_bias=False, dtype=dt, name="input_lin_j")(h)
+        w_e = self.param("input_lin_e_kernel", kernel_init,
+                         (edge_feat.shape[-1], hd))
+        w_d = self.param("input_lin_d_kernel", kernel_init,
+                         (dist_feat.shape[-1], hd))
+        w_c0 = self.param("coord_mlp_0_kernel", kernel_init, (hd, hd))
+        b_c0 = self.param("coord_mlp_0_bias", nn.initializers.zeros, (hd,))
+        w_c1 = self.param("coord_mlp_1_kernel", kernel_init,
+                          (hd, 1 + self.extra_heads))
+        cn_scale = self.param(
+            "coord_norm_scale", lambda *_: jnp.full((1,), 1e-2, jnp.float32)
+        )
+
         if time_emb is not None:
-            ss = nn.Dense(self.hidden_dim * 2, dtype=dt, name="time_mlp")(nn.silu(time_emb))
+            ss = nn.Dense(hd * 2, dtype=dt, name="time_mlp")(nn.silu(time_emb))
             shift, scale = jnp.split(ss, 2, axis=-1)
-            inv = modulate(inv, shift, scale)
-        inv = nn.Dense(self.hidden_dim, dtype=dt, name="coord_mlp_0")(inv)
-        inv = nn.silu(inv)
-        inv = nn.Dense(1 + self.extra_heads, use_bias=False, dtype=dt, name="coord_mlp_1")(inv)
-        # position update math stays f32 for geometric precision
-        inv = jnp.tanh(inv).astype(jnp.float32)
+        else:
+            shift = jnp.zeros((b, hd), dt)
+            scale = jnp.zeros((b, hd), dt)
 
         if self.extra_heads > 0 and extra_adj is not None:
             if extra_adj.shape[-1] != self.extra_heads:
                 extra_adj = jnp.repeat(
                     extra_adj, self.extra_heads // extra_adj.shape[-1], axis=-1
                 )
-            adjs = jnp.concatenate(
-                [jnp.ones_like(inv[..., :1]), extra_adj], axis=-1
-            )
-            inv = jnp.mean(inv * adjs, axis=-1, keepdims=True)
+
+        # fused kernel is forward-only (no VJP): inference path only
+        if self.use_pallas and deterministic:
+            from ..ops.pallas_equi import fused_equi_update
+
+            interpret = jax.default_backend() != "tpu"
+            inv = fused_equi_update(
+                y_i, y_j, edge_feat.astype(dt), dist_feat.astype(dt),
+                extra_adj if self.extra_heads > 0 else None,
+                shift, scale,
+                w_e.astype(dt), w_d.astype(dt), w_c0.astype(dt),
+                b_c0, w_c1.astype(dt),
+                extra_heads=self.extra_heads, interpret=interpret,
+            )[..., None]
         else:
-            inv = jnp.mean(inv, axis=-1, keepdims=True)
+            y_e = edge_feat.astype(dt) @ w_e.astype(dt)
+            y_d = dist_feat.astype(dt) @ w_d.astype(dt)
+            inp = y_i[:, :, None, :] + y_j[:, None, :, :] + y_e + y_d
+            inv = layer_norm(inp)
+            inv = modulate(inv, shift, scale)
+            inv = inv @ w_c0.astype(dt) + b_c0.astype(dt)
+            inv = nn.silu(inv)
+            inv = inv @ w_c1.astype(dt)
+            # position update math stays f32 for geometric precision
+            inv = jnp.tanh(inv).astype(jnp.float32)
+
+            if self.extra_heads > 0 and extra_adj is not None:
+                adjs = jnp.concatenate(
+                    [jnp.ones_like(inv[..., :1]), extra_adj.astype(jnp.float32)],
+                    axis=-1,
+                )
+                inv = jnp.mean(inv * adjs, axis=-1, keepdims=True)
+            else:
+                inv = jnp.mean(inv, axis=-1, keepdims=True)
 
         coord_diff = pos[:, :, None, :] - pos[:, None, :, :]
-        coord_diff = CoorsNorm(scale_init=1e-2, name="coord_norm")(coord_diff)
+        norm_sq = jnp.sum(coord_diff * coord_diff, axis=-1, keepdims=True)
+        coord_diff = coord_diff / jnp.sqrt(
+            jnp.maximum(norm_sq, 1e-16)
+        ) * cn_scale
         trans = coord_diff * inv * edge_mask[..., None]
         return pos + jnp.sum(trans, axis=2)
 
@@ -111,6 +152,7 @@ class DGTBlock(nn.Module):
     gbf_name: str = "CondGaussianLayer"
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_equi: bool = False
 
     @nn.compact
     def __call__(
@@ -219,8 +261,9 @@ class DGTBlock(nn.Module):
         if self.equivariant:
             pos = EquivariantCoordUpdate(
                 self.node_dim, self.extra_heads, dtype=self.dtype,
-                name="equi_update"
-            )(h_out, pos, e_out, dist_feat, edge_mask, edge_time_emb, extra_adj)
+                use_pallas=self.use_pallas_equi, name="equi_update"
+            )(h_out, pos, e_out, dist_feat, edge_mask, edge_time_emb,
+              extra_adj, deterministic)
 
         return h_out, e_out, pos
 
@@ -259,6 +302,7 @@ class DGT(nn.Module):
     cond_ch: int = 0  # number of conditional properties
     compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic
     use_pallas: bool = False  # fused edge-attention kernel
+    use_pallas_equi: bool = False  # fused equi-update gate kernel (see BASELINE.md)
 
     @nn.compact
     def __call__(
@@ -376,6 +420,7 @@ class DGT(nn.Module):
                 gbf_name=self.gbf_name,
                 dtype=dt,
                 use_pallas=self.use_pallas,
+                use_pallas_equi=self.use_pallas_equi,
                 name=f"e_block_{i}",
             )(
                 pos,

@@ -145,7 +145,7 @@ def test_input_lin_split_equivalence():
         h_i @ np.asarray(eq["input_lin_i"]["kernel"])
         + np.asarray(eq["input_lin_i"]["bias"])
         + h_j @ np.asarray(eq["input_lin_j"]["kernel"])
-        + e @ np.asarray(eq["input_lin_e"]["kernel"])
-        + d @ np.asarray(eq["input_lin_d"]["kernel"])
+        + e @ np.asarray(eq["input_lin_e_kernel"])
+        + d @ np.asarray(eq["input_lin_d_kernel"])
     )
     np.testing.assert_allclose(got, expected, atol=1e-5)
