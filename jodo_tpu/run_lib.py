@@ -52,6 +52,7 @@ from .training import (
     CheckpointManager,
     TrainState,
     make_apply_fn,
+    make_eval_step,
     make_optimizer,
     make_train_step,
 )
@@ -233,6 +234,15 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
         edm_metric = get_edm_metric(info)
         edm_metric_2d = get_2d_edm_metric(info)
 
+    # EMA-parameter validation loss (reference step_fn eval branch,
+    # losses.py:116-122)
+    eval_step = make_eval_step(parts["model"], parts["loss_fn"])
+    val_ds = parts["datasets"][-2]
+    val_loader = make_loader(
+        config, val_ds, parts["pad_n"], config.training.eval_batch_size,
+        shuffle=False,
+    ) if len(val_ds) >= config.training.eval_batch_size else None
+
     key = jax.random.PRNGKey(config.seed)
     key = jax.random.fold_in(key, initial_step)
     timer = StepTimer()
@@ -262,11 +272,41 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
         if (step != 0 and step % config.training.snapshot_freq == 0) or step == n_iters:
             save_idx = step // config.training.snapshot_freq
             ckpt.save_numbered(jax.device_get(state), save_idx)
+            if val_loader is not None:
+                val_raw = next(iter(val_loader.epoch()))
+                val_batch = shard_batch(
+                    {k: jnp.asarray(v) for k, v in val_raw.items()}, mesh
+                )
+                key, sub = jax.random.split(key)
+                eval_loss = float(eval_step(state, val_batch, sub))
+                logging.info("step: %d, eval_loss (EMA): %.5e", step, eval_loss)
+                last_metrics["eval_loss"] = eval_loss
             if snapshot_sampling:
                 mols = _sample_with_ema(sampling_fn, state, seed=step)
                 _log_snapshot_metrics(config, step, mols, edm_metric, edm_metric_2d)
+                _visualize_snapshot(config, workdir, step, mols, parts["info"])
 
     return state, last_metrics
+
+
+def _visualize_snapshot(config, workdir, step, mols, info):
+    """RDKit mol-grid per snapshot (reference run_lib.py:154-160; no-op
+    without rdkit)."""
+    try:
+        from .evaluation.stability import build_rdkit_mol, HAS_RDKIT
+        from .visualize import visualize_mols
+
+        if not HAS_RDKIT:
+            return
+        rd = [
+            build_rdkit_mol(m[0], m[1], info, m[2] if len(m) > 2 else None,
+                            m[3] if len(m) > 3 else None)
+            for m in mols[:64]
+        ]
+        sample_dir = os.path.join(workdir, "samples", f"iter_{step}")
+        visualize_mols(rd, sample_dir, config)
+    except Exception as exc:
+        logging.warning("snapshot visualisation failed: %s", exc)
 
 
 def _sample_with_ema(sampling_fn, state, seed=0):

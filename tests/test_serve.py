@@ -1,0 +1,80 @@
+"""Sampling service: health + sample endpoints over real HTTP."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jodo_tpu import run_lib
+from jodo_tpu.configs import get_config
+from jodo_tpu.serve import SamplingService, make_handler
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = get_config("qm9_uncond_jodo")
+    cfg.model.nf = 32
+    cfg.model.n_layers = 2
+    cfg.model.n_heads = 4
+    cfg.model.dropout = 0.0
+    cfg.data.max_node = 12
+    cfg.tpu.pad_nodes = 16
+    cfg.sampling.steps = 3
+    cfg.eval.batch_size = 8
+
+    parts = run_lib.build_training(cfg)
+    state = run_lib.init_state(cfg, parts)
+    params = {"params": state.ema_params["params"]}
+    service = SamplingService(cfg, params)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service, "test"))
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=300) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, body):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health(server):
+    code, body = _get(server + "/health")
+    assert code == 200 and body["status"] == "ok"
+    assert body["batch_size"] == 8
+
+
+def test_sample_endpoint(server):
+    code, body = _post(server + "/sample", {"n_samples": 5, "seed": 1})
+    assert code == 200
+    mols = body["molecules"]
+    assert len(mols) == 5
+    m = mols[0]
+    assert len(m["atoms"]) == len(m["positions"]) == len(m["formal_charges"])
+    assert all(a in ("H", "C", "N", "O", "F") for a in m["atoms"])
+    for i, j, order in m["bonds"]:
+        assert 0 <= i < j < len(m["atoms"]) and 1 <= order <= 4
+    assert body["elapsed_sec"] > 0
+
+
+def test_sample_bad_request(server):
+    code, body = _post(server + "/sample", {"n_samples": -3})
+    assert code == 400 and "error" in body
+    code, _ = _post(server + "/nope", {})
+    assert code == 404
