@@ -102,26 +102,54 @@ def make_round_fn(config, schedule, model, pad_n: int, eps: float = 1e-3) -> Cal
     return jax.jit(round_fn)
 
 
+PAD_LADDER = (16, 24, 32, 48, 64, 96, 128, 160, 192)
+
+
+def _bucket_pads(pad_n: int):
+    """Ascending pad sizes <= pad_n (always including pad_n itself)."""
+    pads = [p for p in PAD_LADDER if p < pad_n]
+    return pads + [pad_n]
+
+
 def make_sampling_fn(
     config, schedule, model, nodes_dist, batch_size: int, n_samples: int,
-    pad_n: int, prop_dist=None,
+    pad_n: int, prop_dist=None, bucketed: bool = True,
 ) -> Callable:
-    """sampling_fn(params, seed) -> list of decoded molecule tuples."""
+    """sampling_fn(params, seed) -> list of decoded molecule tuples.
+
+    Bucketed rounds: sampled molecule sizes are sorted descending and
+    chunked, and each round is padded to the smallest ladder size covering
+    its largest molecule instead of the dataset maximum — on wide size
+    distributions (GEOM: typical 44 atoms vs max 181) this cuts the padded
+    N^2 work by an order of magnitude. One jit compilation per distinct
+    bucket, cached."""
     only_2d = bool(config.only_2D)
-    round_fn = make_round_fn(config, schedule, model, pad_n)
     num_rounds = int(np.ceil(n_samples / batch_size))
+    round_fns = {}
+
+    def get_round_fn(pad):
+        if pad not in round_fns:
+            round_fns[pad] = make_round_fn(config, schedule, model, pad)
+        return round_fns[pad]
 
     def sampling_fn(params, seed: int = 0, progress_cb=None):
         key = jax.random.PRNGKey(seed)
-        n_nodes_all = nodes_dist.sample(num_rounds * batch_size)
+        n_nodes_all = np.asarray(nodes_dist.sample(num_rounds * batch_size))
+        if bucketed:
+            n_nodes_all = np.sort(n_nodes_all)[::-1]
         mols: List = []
         for r in range(num_rounds):
             key, sub = jax.random.split(key)
             n_nodes = n_nodes_all[r * batch_size : (r + 1) * batch_size]
+            if bucketed:
+                pad = next(p for p in _bucket_pads(pad_n)
+                           if p >= int(n_nodes.max()))
+            else:
+                pad = pad_n
             context = None
             if prop_dist is not None:
                 context = jnp.asarray(prop_dist.sample_batch(n_nodes))
-            out = round_fn(params, sub, jnp.asarray(n_nodes), context)
+            out = get_round_fn(pad)(params, sub, jnp.asarray(n_nodes), context)
             if only_2d:
                 one_hot, fc, edge_types, nm, em = out
                 mols += mol_process_2d(one_hot, fc, n_nodes, edge_types)
