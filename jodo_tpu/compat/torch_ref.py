@@ -1,0 +1,287 @@
+"""Dense pure-torch re-expression of the reference DGT_concat forward.
+
+Purpose: an egress-free numerical-parity oracle (SURVEY §7 "hard
+correctness gate", VERDICT r1 item 3). The reference forward
+(/root/reference/models/mol_gnn.py:491-594) uses PyTorch-Geometric only
+for segment softmax / scatter over *fully-connected* per-molecule graphs;
+over a dense symmetric edge mask those are exactly a masked dense softmax
+and a masked sum. This module recomputes the reference semantics with
+dense [B,N,...] tensors and the reference's own state_dict — no PyG — so
+`tests/test_parity.py` can diff it layer-by-layer against the flax DGT
+with the same (converted) weights.
+
+Semantics mirrored (file:line of the reference):
+  * TransMixLayer logits/gates/softmax     models/layers.py:160-186
+  * extra adjacency heads, -1e10 sentinel  models/layers.py:169-176
+  * EquivariantMixBlock adaLN/FFN wiring   models/mol_gnn.py:277-322
+  * MultiCondEquiUpdate coordinate update  models/mol_gnn.py:51-94
+  * CondGaussianLayer / LearnedSinusodial  models/layers.py:273-334
+  * DGT_concat top-level flow              models/mol_gnn.py:491-594
+
+This is NOT part of the TPU compute path — torch, CPU, test/verification
+only.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+
+def dense_dgt_forward(
+    sd: Dict,
+    config,
+    t,
+    xh,
+    node_mask,
+    edge_mask,
+    edge_x,
+    noise_level,
+    cond_x=None,
+    cond_edge_x=None,
+    collect: Optional[dict] = None,
+):
+    """Reference-semantics forward on dense tensors.
+
+    sd: reference-format state_dict (torch tensors, no 'module.' prefix)
+    t [B], xh [B,N,3+C], node_mask [B,N], edge_mask [B,N,N] (no diagonal),
+    edge_x [B,N,N,E], noise_level [B]. Returns (pred, edge_pred); when
+    `collect` is a dict, per-layer activations are stored into it under
+    keys 'h_i' / 'edge_i' / 'pos_i'.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    m = config.model
+    hidden = int(m.nf)
+    edge_hidden = hidden // 4
+    heads = int(m.n_heads)
+    extra = int(m.n_extra_heads)
+    sub_heads = heads - extra
+    out_ch = hidden // heads
+    sub_ch = (heads * out_ch) // sub_heads
+    dist_dim = edge_hidden if bool(m.dist_gbf) else 1
+    n_layers = int(m.n_layers)
+    in_node_dim = int(config.data.atom_types) + int(m.include_fc_charge)
+
+    sd = {k.removeprefix("module."): torch.as_tensor(v) for k, v in sd.items()}
+
+    def lin(name, x):
+        w = sd[f"{name}.weight"]
+        y = x @ w.T
+        b = sd.get(f"{name}.bias")
+        return y + b if b is not None else y
+
+    def ln(x):
+        # nn.LayerNorm(elementwise_affine=False, eps=1e-6)
+        return F.layer_norm(x, x.shape[-1:], eps=1e-6)
+
+    def gaussian(x, mean, std):
+        a = (2 * 3.14159) ** 0.5
+        return torch.exp(-0.5 * (((x - mean) / std) ** 2)) / (a * std)
+
+    def gbf(prefix, x, time_emb):
+        """CondGaussianLayer on [B,N,N,1] with per-graph time modulation."""
+        if f"{prefix}.time_mlp.1.weight" in sd and time_emb is not None:
+            ss = lin(f"{prefix}.time_mlp.1", F.silu(time_emb))  # [B,2]
+            scale, shift = ss.chunk(2, dim=1)
+            x = x * (scale[:, None, None, :] + 1) + shift[:, None, None, :]
+        mean = sd[f"{prefix}.means.weight"].float().view(-1)
+        std = sd[f"{prefix}.stds.weight"].float().view(-1).abs() + 1e-5
+        return torch.cat([x, gaussian(x, mean, std)], dim=-1)
+
+    def modulate(x, shift, scale, pair=False):
+        if pair:
+            return x * (1 + scale[:, None, None, :]) + shift[:, None, None, :]
+        return x * (1 + scale[:, None, :]) + shift[:, None, :]
+
+    def attention(blk, h, edge_attr, extra_adj):
+        """TransMixLayer over the dense mask (models/layers.py:131-186)."""
+        b, n = h.shape[0], h.shape[1]
+        q = lin(f"{blk}.attn_mpnn.lin_query", h).view(b, n, sub_heads, sub_ch)
+        k = lin(f"{blk}.attn_mpnn.lin_key", h).view(b, n, sub_heads, sub_ch)
+        v = lin(f"{blk}.attn_mpnn.lin_value", h).view(b, n, heads, out_ch)
+        ea = torch.tanh(lin(f"{blk}.attn_mpnn.lin_edge0", edge_attr))
+        ea = ea.view(b, n, n, sub_heads, sub_ch)
+        ev = torch.tanh(lin(f"{blk}.attn_mpnn.lin_edge1", edge_attr))
+        ev = ev.view(b, n, n, heads, out_ch)
+
+        # logits for target i over neighbours j
+        alpha_sub = torch.einsum("bihc,bjhc,bijhc->bijh", q, k, ea) / math.sqrt(
+            out_ch
+        )
+        ex = extra_adj
+        if bool(m.softmax_inf):
+            ex = torch.where(ex == 0.0, torch.full_like(ex, -1e10), ex)
+        logits = torch.cat([ex, alpha_sub], dim=-1)  # extra heads first
+
+        mask = edge_mask[..., None]
+        logits = torch.where(mask > 0, logits, torch.full_like(logits, -1e30))
+        logits = logits - logits.max(dim=2, keepdim=True).values
+        unnorm = torch.exp(logits) * mask
+        alpha = unnorm / unnorm.sum(dim=2, keepdim=True).clamp(min=1e-20)
+
+        out = torch.einsum("bijh,bjhc,bijhc->bihc", alpha, v, ev)
+        return out.reshape(b, n, heads * out_ch)
+
+    def equi_update(blk, h, pos, edge_attr, dist, time_emb, extra_adj):
+        """MultiCondEquiUpdate (models/mol_gnn.py:51-94), dense."""
+        eq = f"{blk}.equi_update"
+        b, n = pos.shape[0], pos.shape[1]
+        inp = torch.cat(
+            [
+                h[:, :, None, :].expand(b, n, n, hidden),
+                h[:, None, :, :].expand(b, n, n, hidden),
+                edge_attr,
+                dist,
+            ],
+            dim=-1,
+        )
+        coord_diff = pos[:, :, None, :] - pos[:, None, :, :]
+        norm = coord_diff.norm(dim=-1, keepdim=True).clamp(min=1e-8)
+        coord_diff = coord_diff / norm * sd[f"{eq}.coord_norm.scale"]
+
+        inv = ln(lin(f"{eq}.input_lin", inp))
+        if time_emb is not None:
+            ss = lin(f"{eq}.time_mlp.1", F.silu(time_emb))
+            shift, scale = ss.chunk(2, dim=1)
+            inv = modulate(inv, shift, scale, pair=True)
+        inv = lin(f"{eq}.coord_mlp.0", inv)
+        inv = F.silu(inv)
+        inv = torch.tanh(lin(f"{eq}.coord_mlp.2", inv))
+
+        adjs = torch.cat([torch.ones_like(inv[..., :1]), extra_adj], dim=-1)
+        inv = (inv * adjs).mean(-1, keepdim=True)
+        trans = coord_diff * inv * edge_mask[..., None]
+        return pos + trans.sum(dim=2)
+
+    # ---------------- top-level flow (mol_gnn.py:491-594) ----------------
+    b, n = xh.shape[0], xh.shape[1]
+    pos_init = pos = xh[:, :, 0:3].clone()
+    h = xh[:, :, 3:].clone()
+
+    if cond_x is None:
+        cond_x = torch.zeros_like(xh)
+        cond_edge_x = torch.zeros_like(edge_x)
+        cond_adj_2d = edge_mask[..., None].clone()
+    else:
+        cond_adj_2d = (cond_edge_x[..., 0:1] >= float(m.edge_quan_th)).float()
+        cond_adj_2d = cond_adj_2d * edge_mask[..., None]
+    cond_pos = cond_x[:, :, 0:3]
+    cond_h = cond_x[:, :, 3:]
+    h = torch.cat([h, cond_h], dim=-1)
+
+    # time embedding (LearnedSinusodialposEmb: [x, sin, cos])
+    x = noise_level[:, None]
+    freqs = x * sd["time_mlp.0.weights"][None, :] * 2 * math.pi
+    emb = torch.cat([x, freqs.sin(), freqs.cos()], dim=-1)
+    time_emb = lin("time_mlp.1", emb)
+    time_emb = F.gelu(time_emb)
+    time_emb = lin("time_mlp.3", time_emb)
+
+    # distances + spatial adjacency from self-cond positions
+    # (utils.coord2diff_adj, models/utils.py:109-118: squared distances)
+    diff = cond_pos[:, :, None, :] - cond_pos[:, None, :, :]
+    radial = (diff * diff).sum(-1, keepdim=True) * edge_mask[..., None]
+    cond_adj_spatial = (
+        (radial <= float(m.spatial_cut_off)).float() * edge_mask[..., None]
+    )
+    if radial.sum() == 0:
+        distances = radial.repeat(1, 1, 1, dist_dim)
+    elif bool(m.dist_gbf):
+        distances = gbf("dist_layer", radial, time_emb)
+    else:
+        distances = radial
+    extra_adj = torch.cat([cond_adj_2d, cond_adj_spatial], dim=-1)
+    if extra_adj.shape[-1] != extra:
+        extra_adj = extra_adj.repeat_interleave(extra // extra_adj.shape[-1], -1)
+
+    edge_attr = torch.cat([edge_x, cond_edge_x, distances], dim=-1)
+    h = lin("node_emb", h)
+    edge_attr = lin("edge_emb", edge_attr)
+
+    atom_hids = [h]
+    edge_hids = [edge_attr]
+    for i in range(n_layers):
+        blk = f"e_block_{i}"
+        h_in, e_in = h, edge_attr
+
+        # block distance feature from the *current* positions
+        dd = pos[:, :, None, :] - pos[:, None, :, :]
+        dist = (dd * dd).sum(-1, keepdim=True)
+        if bool(m.dist_gbf):
+            dist = gbf(f"{blk}.dist_layer", dist, time_emb)
+        edge_attr = lin(f"{blk}.edge_emb", torch.cat([dist, edge_attr], dim=-1))
+
+        if bool(m.cond_time):
+            n_mod = lin(f"{blk}.node_time_mlp.1", F.silu(time_emb))
+            e_mod = lin(f"{blk}.edge_time_mlp.1", F.silu(time_emb))
+            (ns_msa, nsc_msa, ng_msa, ns_mlp, nsc_mlp, ng_mlp) = n_mod.chunk(6, 1)
+            (es_msa, esc_msa, eg_msa, es_mlp, esc_mlp, eg_mlp) = e_mod.chunk(6, 1)
+            hh = modulate(ln(h), ns_msa, nsc_msa)
+            ee = modulate(ln(edge_attr), es_msa, esc_msa, pair=True)
+        else:
+            hh = ln(h)
+            ee = ln(edge_attr)
+
+        h_node = attention(blk, hh, ee, extra_adj)
+        h_edge = h_node[:, :, None, :] + h_node[:, None, :, :]
+        h_edge = lin(f"{blk}.node2edge_lin", h_edge)
+
+        nm = node_mask[..., None]
+        if bool(m.cond_time):
+            h_node = h_in + ng_msa[:, None, :] * h_node
+            h_node = modulate(ln(h_node), ns_mlp, nsc_mlp) * nm
+            ff = lin(f"{blk}.ff_linear2", F.silu(lin(f"{blk}.ff_linear1", h_node)))
+            h = (h_node + ng_mlp[:, None, :] * ff) * nm
+            h_edge = e_in + eg_msa[:, None, None, :] * h_edge
+            h_edge = modulate(ln(h_edge), es_mlp, esc_mlp, pair=True)
+            ffe = lin(f"{blk}.ff_linear4", F.silu(lin(f"{blk}.ff_linear3", h_edge)))
+            edge_attr = h_edge + eg_mlp[:, None, None, :] * ffe
+        else:
+            h_node = h_in + h_node
+            h_node = ln(h_node) * nm
+            ff = lin(f"{blk}.ff_linear2", F.silu(lin(f"{blk}.ff_linear1", h_node)))
+            h = (h_node + ff) * nm
+            h_edge = e_in + h_edge
+            h_edge = ln(h_edge)
+            ffe = lin(f"{blk}.ff_linear4", F.silu(lin(f"{blk}.ff_linear3", h_edge)))
+            edge_attr = h_edge + ffe
+
+        pos = equi_update(blk, h, pos, edge_attr, dist, time_emb, extra_adj)
+
+        if bool(m.CoM):
+            mean = (pos * nm).sum(1, keepdim=True) / nm.sum(1, keepdim=True)
+            pos = (pos - mean) * nm
+
+        if collect is not None:
+            collect[f"h_{i}"] = h
+            collect[f"edge_{i}"] = edge_attr
+            collect[f"pos_{i}"] = pos
+
+        atom_hids.append(lin(f"node_{i}", h))
+        edge_hids.append(lin(f"edge_{i}", edge_attr))
+
+    atom_cat = torch.cat(atom_hids, dim=-1)
+    edge_cat = torch.cat(edge_hids, dim=-1)
+
+    def mlp3(name, x):
+        x = F.silu(lin(f"{name}.0", x))
+        x = F.silu(lin(f"{name}.2", x))
+        return lin(f"{name}.4", x)
+
+    atom_pred = mlp3("node_pred_mlp", atom_cat) * node_mask[..., None]
+    edge_pred = torch.cat(
+        [mlp3("edge_exist_mlp", edge_cat), mlp3("edge_type_mlp", edge_cat)], dim=-1
+    )
+    edge_pred = edge_pred * edge_mask[..., None]
+    edge_pred = 0.5 * (edge_pred + edge_pred.permute(0, 2, 1, 3))
+
+    nm = node_mask[..., None]
+    if bool(m.pred_data):
+        pos = pos * nm
+    else:
+        pos = (pos - pos_init) * nm
+    mean = (pos * nm).sum(1, keepdim=True) / nm.sum(1, keepdim=True)
+    pos = (pos - mean) * nm
+    return torch.cat([pos, atom_pred], dim=2), edge_pred
