@@ -121,13 +121,21 @@ class EquivariantCoordUpdate(nn.Module):
             else:
                 inv = jnp.mean(inv, axis=-1, keepdims=True)
 
-        coord_diff = pos[:, :, None, :] - pos[:, None, :, :]
-        norm_sq = jnp.sum(coord_diff * coord_diff, axis=-1, keepdims=True)
-        coord_diff = coord_diff / jnp.sqrt(
-            jnp.maximum(norm_sq, 1e-16)
-        ) * cn_scale
-        trans = coord_diff * inv * edge_mask[..., None]
-        return pos + jnp.sum(trans, axis=2)
+        # trans_ij = (p_i - p_j)/max(r_ij, eps) * scale * inv_ij * mask_ij,
+        # summed over j. Factored as p_i * rowsum(w) - w @ p with
+        # w_ij = scale * inv_ij * mask_ij / max(r_ij, eps): no [B,N,N,3]
+        # pair tensor is ever materialised and the reduction is one MXU
+        # matmul instead of a 3-lane elementwise+reduce chain.
+        # r_sq via direct differences (accurate for near-coincident atoms,
+        # unlike the |p_i|^2+|p_j|^2-2p_i.p_j form); XLA fuses the c-axis
+        # reduce so no [B,N,N,3] tensor is written.
+        posf = pos.astype(jnp.float32)
+        diff = posf[:, :, None, :] - posf[:, None, :, :]
+        r_sq = jnp.sum(diff * diff, axis=-1)  # [B,N,N]
+        r = jnp.sqrt(jnp.maximum(r_sq, 1e-16))
+        w = inv[..., 0] * edge_mask * (cn_scale[0] / r)  # [B,N,N]
+        rowsum = jnp.sum(w, axis=2, keepdims=True)  # [B,N,1]
+        return pos + posf * rowsum - jnp.einsum("bij,bjc->bic", w, posf)
 
 
 class DGTBlock(nn.Module):

@@ -140,7 +140,8 @@ def fused_edge_attention(
     # ~1280 f32 channels across the live per-row buffers => n*5120 bytes/row;
     # Mosaic additionally requires the sublane (i-tile) dim to be a multiple
     # of 8 (or the full axis)
-    budget_rows = max(8, (4 * 1024 * 1024) // (n * 5120))
+    import os
+    budget_rows = max(8, (int(os.environ.get('JODO_ATTN_VMEM_MB', '4')) * 1024 * 1024) // (n * 5120))
     best = None
     for cand in range(8, n + 1, 8):
         if n % cand == 0 and cand <= min(tile_i, budget_rows):

@@ -1,4 +1,4 @@
-"""Fused equivariant coordinate-update Pallas TPU kernel.
+"""Fused equivariant coordinate-gate Pallas TPU kernel (v2).
 
 The DGT position update (models/dgt.py EquivariantCoordUpdate; reference
 MultiCondEquiUpdate, mol_gnn.py:51-94) evaluates, per pair (i,j):
@@ -6,19 +6,26 @@ MultiCondEquiUpdate, mol_gnn.py:51-94) evaluates, per pair (i,j):
     u    = LN(y_i + y_j + W_e e_ij + W_d d_ij) * (1+scale) + shift
     z    = tanh( silu(u @ Wc0 + bc0) @ Wc1 )          [1 + extra heads]
     inv  = mean(z * [1, extra_adj_ij])                scalar
-    out_i += coorsnorm(pos_i - pos_j) * inv * mask_ij
 
-The XLA path materialises three [B,N,N,hidden] intermediates per block to
-HBM. This kernel keeps the hidden-width pair chain in VMEM per
-(batch, i-tile) grid cell — the two gate matmuls and the coord-MLP on the
-MXU, LayerNorm/modulation/tanh on the VPU — and writes only the scalar
-pair weights inv [B,N,N] back; the 3-channel coordinate weighting and
-reduction stay in XLA where they are cheap (putting them in-kernel costs
-42x VPU waste from 3->128 lane padding; measured slower).
+The XLA path materialises four [B,N,N,hidden] intermediates per block to
+HBM (profile r2: ~0.55 ms/layer at B=128,N=32 — pair construct, two 64->256
+convs, LayerNorm stats, and a 3-lane matmul tail). This kernel keeps the
+whole hidden-width pair chain in VMEM per (batch, i-tile) grid cell and
+writes only the scalar pair gate inv [B,N,N].
 
-The O(N) node-term projections y_i, y_j and the adaLN shift/scale are
-computed outside in XLA. Wc1 is pre-split into its base and extra-head
-columns so the kernel never lane-slices. f32 accumulation throughout.
+v2 changes vs the round-1 version (which measured *slower* than XLA,
+BASELINE.md r1):
+  * the elementwise chain runs in bf16 (matching XLA's stream dtype);
+    only LayerNorm statistics and the final tanh/mean are f32 — the r1
+    kernel ran every VPU op in f32, doubling vector work
+  * Wc1 is one [hidden, pad8(1+extra)] matmul instead of two lane-1/2
+    matmuls; the adjacency-weighted head mean happens on the [TI*N, 8]
+    result in-register
+  * full-row i-tiles (fewer grid cells, weight DMAs hoisted)
+
+The [B,N,N,3]-shaped coordinate weighting itself stays outside: dgt.py
+factors it as pos*rowsum(w) - w@pos (one MXU matmul), so no 3-lane pair
+tensor exists in either path.
 """
 
 from __future__ import annotations
@@ -34,47 +41,68 @@ __all__ = ["fused_equi_update"]
 
 def _equi_kernel(
     yi_ref, yj_ref, e_ref, d_ref, extra_ref, shift_ref, scale_ref,
-    we_ref, wd_ref, wc0_ref, bc0_ref, wc1a_ref, wc1b_ref, out_ref,
+    we_ref, wd_ref, wc0_ref, bc0_ref, wc1_ref, out_ref,
     *, extra_heads,
 ):
-    # blocks: yi [1,TI,H], yj [1,N,H], e [1,TI,N,E], d [1,TI,N,Dd],
-    # extra [1,TI,N,Xp], shift/scale [1,1,H], bc0 [1,H], out [1,TI,N]
-    ti = yi_ref.shape[1]
+    # blocks: yi [BB,N,H], yj [BB,N,H], e [BB,N,N,E], d [BB,N,N,Dd],
+    # extra [BB,N,N,X], shift/scale [BB,1,H], bc0 [1,H], wc1 [H,8],
+    # out [BB,N,N]. BB batch items per grid cell amortise per-cell
+    # overheads (Mosaic grid iteration + DMA latency).
+    bb = yi_ref.shape[0]
     n = yj_ref.shape[1]
     f32 = jnp.float32
+    bf16 = jnp.bfloat16
     hidden = yi_ref.shape[-1]
+    rows = bb * n * n
 
-    e_flat = e_ref[0].reshape(ti * n, e_ref.shape[-1])
-    d_flat = d_ref[0].reshape(ti * n, d_ref.shape[-1])
+    e_flat = e_ref[:].reshape(rows, e_ref.shape[-1])
+    d_flat = d_ref[:].reshape(rows, d_ref.shape[-1])
+    # MXU accumulates f32 (Mosaic requirement); the stream casts to bf16
+    # immediately — the result feeds a LayerNorm, bf16-level error is
+    # already present in the XLA bf16 path
     ye = jnp.dot(e_flat, we_ref[:], preferred_element_type=f32)
     yd = jnp.dot(d_flat, wd_ref[:], preferred_element_type=f32)
     pair = (
-        ye.reshape(ti, n, hidden)
-        + yd.reshape(ti, n, hidden)
-        + yi_ref[0].astype(f32)[:, None, :]
-        + yj_ref[0].astype(f32)[None, :, :]
+        (ye + yd).astype(bf16).reshape(bb, n, n, hidden)
+        + yi_ref[:].astype(bf16)[:, :, None, :]
+        + yj_ref[:].astype(bf16)[:, None, :, :]
+    ).reshape(rows, hidden)
+
+    # affine-free LayerNorm: lane-mean/var via an MXU ones-matmul (the VPU
+    # lane reduction is the hot spot in the XLA formulation), f32 stats
+    ones_h = jnp.ones((hidden, 8), bf16)
+    mean = jax.lax.dot(pair, ones_h, preferred_element_type=f32)[:, :1] * (
+        1.0 / hidden
     )
+    sq = (pair * pair).astype(bf16)
+    ex2 = jax.lax.dot(sq, ones_h, preferred_element_type=f32)[:, :1] * (
+        1.0 / hidden
+    )
+    inv_std = jax.lax.rsqrt(jnp.maximum(ex2 - mean * mean, 0.0) + 1e-6)
+    # u = (pair - mean)*inv_std*(1+scale) + shift, folded bf16 passes;
+    # shift/scale are per-graph
+    a = inv_std.astype(bf16)  # [rows, 1]
+    s1 = (1.0 + scale_ref[:, 0].astype(bf16))[:, None, :]  # [BB,1,H]
+    sh = shift_ref[:, 0].astype(bf16)[:, None, :]
+    u = ((pair - mean.astype(bf16)) * a).reshape(bb, n * n, hidden)
+    u = (u * s1 + sh).reshape(rows, hidden)
 
-    # affine-free LayerNorm over the lane dim + adaLN modulation
-    mean = jnp.mean(pair, axis=-1, keepdims=True)
-    var = jnp.mean((pair - mean) ** 2, axis=-1, keepdims=True)
-    u = (pair - mean) * jax.lax.rsqrt(var + 1e-6)
-    u = u * (1.0 + scale_ref[0, 0].astype(f32)) + shift_ref[0, 0].astype(f32)
-
-    h = jnp.dot(
-        u.reshape(ti * n, hidden), wc0_ref[:], preferred_element_type=f32
-    ) + bc0_ref[0].astype(f32)
-    h = h * jax.nn.sigmoid(h)  # silu
-    z0 = jnp.tanh(jnp.dot(h, wc1a_ref[:], preferred_element_type=f32))
-    z0 = z0.reshape(ti, n, 1)
+    h = jnp.dot(u, wc0_ref[:].astype(bf16), preferred_element_type=f32) + (
+        bc0_ref[0].astype(f32)
+    )
+    h = (h * jax.nn.sigmoid(h)).astype(bf16)  # silu
+    z = jnp.tanh(
+        jnp.dot(h, wc1_ref[:].astype(bf16), preferred_element_type=f32)
+    )  # [rows, 8] — cols 0..extra_heads real, rest zero-weighted
+    z = z.reshape(bb, n, n, -1)
     if extra_heads > 0:
-        zx = jnp.tanh(jnp.dot(h, wc1b_ref[:], preferred_element_type=f32))
-        zx = zx.reshape(ti, n, -1)
-        adjs = extra_ref[0].astype(f32)
-        inv = (z0[..., 0] + jnp.sum(zx * adjs, axis=-1)) / (1.0 + extra_heads)
+        adjs = extra_ref[:].astype(f32)  # [BB, N, N, X]
+        inv = (
+            z[..., 0] + jnp.sum(z[..., 1 : 1 + extra_heads] * adjs, axis=-1)
+        ) / (1.0 + extra_heads)
     else:
-        inv = z0[..., 0]
-    out_ref[0] = inv.astype(out_ref.dtype)  # [TI, N]
+        inv = z[..., 0]
+    out_ref[:] = inv.astype(out_ref.dtype)  # [BB, N, N]
 
 
 @functools.partial(
@@ -84,9 +112,9 @@ def _equi_kernel(
 def fused_equi_update(
     y_i, y_j, edge_feat, dist_feat, extra_adj,
     shift, scale, w_e, w_d, w_c0, b_c0, w_c1,
-    *, extra_heads=0, tile_i=16, interpret=False,
+    *, extra_heads=0, tile_i=32, interpret=False,
 ):
-    """Returns the scalar pair weights inv [B, N, N].
+    """Returns the scalar pair gates inv [B, N, N] (f32).
 
     y_i/y_j [B,N,H] (node-term projections; y_i carries the bias),
     edge_feat [B,N,N,E], dist_feat [B,N,N,Dd], extra_adj [B,N,N,X] or None,
@@ -94,50 +122,50 @@ def fused_equi_update(
     w_d [Dd,H], w_c0 [H,H], b_c0 [H], w_c1 [H, 1+extra]."""
     b, n, hidden = y_i.shape
 
-    budget_rows = max(8, (4 * 1024 * 1024) // (n * 4096))
-    best = None
-    for cand in range(8, n + 1, 8):
-        if n % cand == 0 and cand <= min(tile_i, budget_rows):
-            best = cand
-    tile_i = best if best is not None else n
-    num_tiles = n // tile_i
+    # batch items per grid cell: target ~[4096, hidden] rows per cell to
+    # amortise grid-iteration and DMA overheads within the VMEM budget
+    import os
+
+    target_rows = int(os.environ.get("JODO_EQUI_ROWS", "4096"))
+    bb = max(1, min(b, target_rows // (n * n)))
+    while b % bb != 0:
+        bb -= 1
 
     if extra_adj is None:
         extra_adj = jnp.zeros((b, n, n, 1), y_i.dtype)
 
     shift3 = shift[:, None, :]
     scale3 = scale[:, None, :]
-    w_c1a = w_c1[:, :1]
-    w_c1b = w_c1[:, 1:] if extra_heads > 0 else jnp.zeros((hidden, 1), w_c1.dtype)
+    # pad the head dim of Wc1 to 8 sublanes: one matmul, no lane slicing
+    w_c1p = jnp.zeros((hidden, 8), w_c1.dtype).at[:, : w_c1.shape[1]].set(w_c1)
     bc0_2d = b_c0.reshape(1, -1)
 
     kernel = functools.partial(_equi_kernel, extra_heads=extra_heads)
     out = pl.pallas_call(
         kernel,
-        grid=(b, num_tiles),
+        grid=(b // bb,),
         in_specs=[
-            pl.BlockSpec((1, tile_i, hidden), lambda bi, it: (bi, it, 0)),
-            pl.BlockSpec((1, n, hidden), lambda bi, it: (bi, 0, 0)),
-            pl.BlockSpec((1, tile_i, n, edge_feat.shape[-1]),
-                         lambda bi, it: (bi, it, 0, 0)),
-            pl.BlockSpec((1, tile_i, n, dist_feat.shape[-1]),
-                         lambda bi, it: (bi, it, 0, 0)),
-            pl.BlockSpec((1, tile_i, n, extra_adj.shape[-1]),
-                         lambda bi, it: (bi, it, 0, 0)),
-            pl.BlockSpec((1, 1, hidden), lambda bi, it: (bi, 0, 0)),
-            pl.BlockSpec((1, 1, hidden), lambda bi, it: (bi, 0, 0)),
-            pl.BlockSpec((w_e.shape[0], hidden), lambda bi, it: (0, 0)),
-            pl.BlockSpec((w_d.shape[0], hidden), lambda bi, it: (0, 0)),
-            pl.BlockSpec((hidden, hidden), lambda bi, it: (0, 0)),
-            pl.BlockSpec((1, hidden), lambda bi, it: (0, 0)),
-            pl.BlockSpec((hidden, 1), lambda bi, it: (0, 0)),
-            pl.BlockSpec((hidden, w_c1b.shape[1]), lambda bi, it: (0, 0)),
+            pl.BlockSpec((bb, n, hidden), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((bb, n, hidden), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((bb, n, n, edge_feat.shape[-1]),
+                         lambda bi: (bi, 0, 0, 0)),
+            pl.BlockSpec((bb, n, n, dist_feat.shape[-1]),
+                         lambda bi: (bi, 0, 0, 0)),
+            pl.BlockSpec((bb, n, n, extra_adj.shape[-1]),
+                         lambda bi: (bi, 0, 0, 0)),
+            pl.BlockSpec((bb, 1, hidden), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((bb, 1, hidden), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((w_e.shape[0], hidden), lambda bi: (0, 0)),
+            pl.BlockSpec((w_d.shape[0], hidden), lambda bi: (0, 0)),
+            pl.BlockSpec((hidden, hidden), lambda bi: (0, 0)),
+            pl.BlockSpec((1, hidden), lambda bi: (0, 0)),
+            pl.BlockSpec((hidden, 8), lambda bi: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tile_i, n), lambda bi, it: (bi, it, 0)),
+        out_specs=pl.BlockSpec((bb, n, n), lambda bi: (bi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.float32),
         interpret=interpret,
     )(
         y_i, y_j, edge_feat, dist_feat, extra_adj,
-        shift3, scale3, w_e, w_d, w_c0, bc0_2d, w_c1a, w_c1b,
+        shift3, scale3, w_e, w_d, w_c0, bc0_2d, w_c1p,
     )
     return out

@@ -1,4 +1,8 @@
-"""Fused equivariant-update kernel: parity with the jnp reference path."""
+"""Fused equivariant-update kernel: parity with the jnp reference path.
+
+The v2 kernel runs its elementwise chain in bf16 (matching the production
+compute_dtype); the reference modules here are f32, so tolerances are
+bf16-level, not exact."""
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +34,7 @@ def test_fused_equi_matches_jnp(extra_heads):
     out_ref = ref.apply(params, h, pos, e, d, em, te, extra)
     out_fused = fused.apply(params, h, pos, e, d, em, te, extra)
     np.testing.assert_allclose(
-        np.asarray(out_fused), np.asarray(out_ref), atol=3e-5, rtol=3e-5
+        np.asarray(out_fused), np.asarray(out_ref), atol=8e-4, rtol=2e-3
     )
 
 
@@ -46,5 +50,5 @@ def test_fused_equi_no_time():
     np.testing.assert_allclose(
         np.asarray(fused.apply(params, h, pos, e, d, em, None, None)),
         np.asarray(ref.apply(params, h, pos, e, d, em, None, None)),
-        atol=3e-5, rtol=3e-5,
+        atol=8e-4, rtol=2e-3,
     )
