@@ -1,19 +1,22 @@
-"""Headline benchmark: QM9-shaped molecule sampling throughput (mols/sec).
+"""Headline benchmark: molecule sampling throughput through the PRODUCTION
+sampling path (bucketed pad ladder + per-bucket batch sizing), plus MFU.
 
-Runs the flagship DGT (QM9 config: nf=256, 8 layers, 16 heads) through the
-scan-compiled 1000-step ancestral sampler on whatever accelerator JAX
-exposes, then prints ONE JSON line:
+Prints ONE JSON line:
   {"metric": "qm9_sampling_mols_per_sec", "value": ..., "unit": "mols/sec",
-   "vs_baseline": ...}
+   "vs_baseline": ..., "extra": {qm9/geom details incl. mfu}}
 
-The baseline divisor is the PyTorch reference's A100 throughput for the
-same protocol (batch 2500, 1000 steps). The repo publishes no wall-clock
-numbers (BASELINE.md), so the anchor below is the measured per-forward cost
-of the reference model extrapolated to the full chain; conditions recorded
-in BASELINE.md. Override with env JODO_BASELINE_MOLS_PER_SEC.
+Protocol (matching the reference, README.md:142/162: QM9 batch 2500 on one
+GPU, 1000 ancestral steps): sample JODO_BENCH_SAMPLES molecules end-to-end
+(device chains + host decode) and divide. The baseline divisor is an
+ESTIMATED A100 reference throughput (see BASELINE.md); override with
+JODO_BASELINE_MOLS_PER_SEC / JODO_BASELINE_GEOM_MOLS_PER_SEC.
 
-Env knobs: JODO_BENCH_BATCH (default 512), JODO_BENCH_STEPS (default 1000),
-JODO_BENCH_DTYPE (float32|bfloat16).
+MFU = analytic matmul FLOPs of every executed forward (profiling.
+dgt_forward_flops, validated vs XLA cost analysis) / wall time / peak.
+
+Env knobs: JODO_BENCH_BATCH (base, default 128), JODO_BENCH_STEPS (1000),
+JODO_BENCH_SAMPLES (512), JODO_BENCH_DTYPE, JODO_BENCH_PALLAS,
+JODO_BENCH_GEOM=0 to skip the GEOM section.
 """
 
 from __future__ import annotations
@@ -23,66 +26,96 @@ import os
 import time
 
 
-def main():
+def _measure(cfg_name, info, batch, steps, n_samples, feat, edge_ch, pad_n):
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from jodo_tpu.configs import get_config
     from jodo_tpu.diffusion import NoiseSchedule
     from jodo_tpu.models import create_model, get_node_dist
-    from jodo_tpu.data.datasets_info import QM9_WITH_H
-    from jodo_tpu.sampling import make_round_fn
+    from jodo_tpu.profiling import dgt_forward_flops, mfu
+    from jodo_tpu.sampling import make_sampling_fn
 
-    batch = int(os.environ.get("JODO_BENCH_BATCH", "128"))
-    steps = int(os.environ.get("JODO_BENCH_STEPS", "1000"))
-
-    cfg = get_config("qm9_uncond_jodo")
+    cfg = get_config(cfg_name)
     cfg.sampling.steps = steps
     cfg.model.dropout = 0.0
     cfg.tpu.compute_dtype = os.environ.get("JODO_BENCH_DTYPE", "bfloat16")
     cfg.tpu.use_pallas = os.environ.get("JODO_BENCH_PALLAS", "1") == "1"
-    pad_n = 32
 
     model = create_model(cfg)
     schedule = NoiseSchedule.create(cfg.sde.schedule)
-    nodes_dist = get_node_dist(QM9_WITH_H, seed=0)
+    nodes_dist = get_node_dist(info, seed=0)
 
-    # init params at the real model scale
     b0 = 2
     nm = jnp.ones((b0, pad_n))
     em = jnp.ones((b0, pad_n, pad_n))
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.full((b0,), 0.5),
-        jnp.zeros((b0, pad_n, 9)), nm, em,
-        jnp.zeros((b0, pad_n, pad_n, 2)), jnp.zeros((b0,)),
+        jnp.zeros((b0, pad_n, feat)), nm, em,
+        jnp.zeros((b0, pad_n, pad_n, edge_ch)), jnp.zeros((b0,)),
     )
 
-    round_fn = make_round_fn(cfg, schedule, model, pad_n)
-    n_nodes = jnp.asarray(nodes_dist.sample(batch))
-    key = jax.random.PRNGKey(1)
-
-    # compile + warmup
-    out = round_fn(params, key, n_nodes)
-    jax.block_until_ready(out)
-
+    fn = make_sampling_fn(
+        cfg, schedule, model, nodes_dist, batch, n_samples, pad_n,
+        bucketed=True,
+    )
+    fn(params, seed=0)  # compile every bucket
+    log = []
     t0 = time.perf_counter()
-    out = round_fn(params, jax.random.PRNGKey(2), n_nodes)
-    jax.block_until_ready(out)
+    mols = fn(params, seed=1, round_log=log)
     elapsed = time.perf_counter() - t0
 
-    mols_per_sec = batch / elapsed
+    flops = sum(
+        steps * dgt_forward_flops(cfg, b_round, pad) for pad, b_round in log
+    )
+    util = mfu(flops, elapsed)
+    return {
+        "mols_per_sec": round(len(mols) / elapsed, 3),
+        "ms_per_step_blended": round(elapsed / (steps * len(log)) * 1e3, 3),
+        "n_samples": len(mols),
+        "steps": steps,
+        "rounds": [list(r) for r in log],
+        "mfu": round(util, 4) if util is not None else None,
+        "seconds": round(elapsed, 2),
+    }
 
-    # Baseline: PyTorch JODO on A100, batch 2500, 1000 ancestral steps.
-    # See BASELINE.md "Measured results" for how this anchor was obtained.
+
+def main():
+    from jodo_tpu.data.datasets_info import GEOM_WITH_H_1, QM9_WITH_H
+
+    batch = int(os.environ.get("JODO_BENCH_BATCH", "128"))
+    steps = int(os.environ.get("JODO_BENCH_STEPS", "1000"))
+    n_samples = int(os.environ.get("JODO_BENCH_SAMPLES", "512"))
+
+    qm9 = _measure("qm9_uncond_jodo", QM9_WITH_H, batch, steps, n_samples,
+                   feat=9, edge_ch=2, pad_n=32)
+
+    extra = {"qm9@1000": qm9}
+
+    if os.environ.get("JODO_BENCH_GEOM", "1") == "1":
+        geom_batch = max(8, batch // 8)
+        geom_samples = max(32, n_samples // 8)
+        geom = _measure(
+            "geom_uncond_jodo", GEOM_WITH_H_1, geom_batch,
+            max(50, steps // 10), geom_samples,
+            feat=20, edge_ch=3, pad_n=184,
+        )
+        geom_baseline = float(
+            os.environ.get("JODO_BASELINE_GEOM_MOLS_PER_SEC", "1.0")
+        )
+        geom["vs_baseline_at_1000"] = round(
+            geom["mols_per_sec"] * geom["steps"] / 1000.0 / geom_baseline, 3
+        )
+        extra["geom"] = geom
+
     baseline = float(os.environ.get("JODO_BASELINE_MOLS_PER_SEC", "10.0"))
-
     print(json.dumps({
         "metric": "qm9_sampling_mols_per_sec",
-        "value": round(mols_per_sec, 3),
+        "value": qm9["mols_per_sec"],
         "unit": "mols/sec",
-        "vs_baseline": round(mols_per_sec / baseline, 3),
+        "vs_baseline": round(qm9["mols_per_sec"] / baseline, 3),
+        "extra": extra,
     }))
 
 

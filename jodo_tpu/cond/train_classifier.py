@@ -33,9 +33,11 @@ PROP2IDX = {"mu": 0, "alpha": 1, "homo": 2, "lumo": 3, "gap": 4, "Cv": 11}
 
 
 def build_classifier_training(config, prop: str, lr: float = 1e-4,
-                              synthetic_fallback: bool = True):
+                              synthetic_fallback: bool = None):
     """Returns (model, tx, loader, prop_norm, pad_n, eval data)."""
     pad_n = pad_nodes(config)
+    if synthetic_fallback is None:
+        synthetic_fallback = bool(config.data.get("allow_synthetic", False))
     first_train, second_train, valid, test, info = get_dataset(
         config, synthetic_fallback=synthetic_fallback
     )
@@ -74,7 +76,7 @@ def make_classifier_train_step(model, tx, prop_norm):
 
 def train_classifier(config, prop: str, workdir: str, steps: int = 200000,
                      log_freq: int = 500, lr: float = 1e-4,
-                     synthetic_fallback: bool = True):
+                     synthetic_fallback: bool = None):
     model, tx, loader, prop_norm, pad_n, _ = build_classifier_training(
         config, prop, lr, synthetic_fallback
     )

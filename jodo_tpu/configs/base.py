@@ -33,6 +33,9 @@ def base_config() -> ml_collections.ConfigDict:
     data.bond_types = 4
     data.fc_scale = [-1.0, 1.0]
     data.max_node = 29
+    # opt-in: train/eval on a synthetic dataset when raw files are absent
+    # (tests/benchmarks/smoke runs). Off by default: missing data raises.
+    data.allow_synthetic = False
 
     # SDE
     config.sde = sde = ml_collections.ConfigDict()

@@ -67,9 +67,19 @@ def get_dataset(config, synthetic_fallback: bool = False, synthetic_size: int = 
             data, splits = ingest.load_moses(config.data.root)
         else:
             raise ValueError(f"Undefined dataset name: {name}")
-    except (FileNotFoundError, ImportError):
+    except (FileNotFoundError, ImportError) as exc:
         if not synthetic_fallback:
             raise
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dataset %s unavailable (%s: %s) — FALLING BACK TO SYNTHETIC "
+            "DATA (%d molecules). Results will be stamped data='synthetic'. "
+            "Fetch the raw files or unset data.allow_synthetic to make this "
+            "an error.",
+            name, type(exc).__name__, exc, synthetic_size,
+        )
+        info = dict(info, synthetic=True)
         data = synthetic_dataset(config.data.info_name, num_mols=synthetic_size,
                                  with_pos=not config.only_2D,
                                  max_nodes=int(config.data.max_node))

@@ -87,12 +87,14 @@ def _prop_norm_for(config, train_data, norm_data):
     return prop_norm, values
 
 
-def build_training(config, dataset=None, synthetic_fallback=True):
+def build_training(config, dataset=None, synthetic_fallback=None):
     """Assemble every training component; returns a dict of parts."""
     pad_n = pad_nodes(config)
     cond = "cond" in config.exp_type
 
     if dataset is None:
+        if synthetic_fallback is None:
+            synthetic_fallback = bool(config.data.get("allow_synthetic", False))
         dataset = get_dataset(config, synthetic_fallback=synthetic_fallback)
     if cond:
         first_train, train_ds, val_ds, test_ds, info = dataset
@@ -434,6 +436,8 @@ def evaluate(config, workdir: str, eval_folder: str = "eval"):
             mols, maes = out, None
         elapsed = time.perf_counter() - t0
         res = {"mols_per_sec": len(mols) / elapsed}
+        if info.get("synthetic"):
+            res["data"] = "synthetic"  # provenance: fallback dataset
 
         if config.only_2D:
             stab, rd, rdmols = edm_metric_2d(mols)

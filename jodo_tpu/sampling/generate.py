@@ -124,7 +124,6 @@ def make_sampling_fn(
     N^2 work by an order of magnitude. One jit compilation per distinct
     bucket, cached."""
     only_2d = bool(config.only_2D)
-    num_rounds = int(np.ceil(n_samples / batch_size))
     round_fns = {}
 
     def get_round_fn(pad):
@@ -132,20 +131,39 @@ def make_sampling_fn(
             round_fns[pad] = make_round_fn(config, schedule, model, pad)
         return round_fns[pad]
 
-    def sampling_fn(params, seed: int = 0, progress_cb=None):
+    def _batch_for_pad(pad: int) -> int:
+        """Per-bucket batch: smaller pads leave the chip idle at the base
+        batch, so scale the round size with the pad ratio (measured optima
+        on v5e, BASELINE.md r2: pad16->2x, pad24->2x at QM9 scale)."""
+        mult = int(round((pad_n / pad) ** 2 / 2))
+        return batch_size * max(1, min(8, mult))
+
+    def sampling_fn(params, seed: int = 0, progress_cb=None, round_log=None):
         key = jax.random.PRNGKey(seed)
-        n_nodes_all = np.asarray(nodes_dist.sample(num_rounds * batch_size))
+        total = int(np.ceil(n_samples / batch_size)) * batch_size
+        n_nodes_all = np.asarray(nodes_dist.sample(total))
         if bucketed:
             n_nodes_all = np.sort(n_nodes_all)[::-1]
         mols: List = []
-        for r in range(num_rounds):
+        start = 0
+        while start < total:
             key, sub = jax.random.split(key)
-            n_nodes = n_nodes_all[r * batch_size : (r + 1) * batch_size]
             if bucketed:
                 pad = next(p for p in _bucket_pads(pad_n)
-                           if p >= int(n_nodes.max()))
+                           if p >= int(n_nodes_all[start]))
+                b_round = _batch_for_pad(pad)
             else:
                 pad = pad_n
+                b_round = batch_size
+            n_nodes = n_nodes_all[start : start + b_round]
+            start += len(n_nodes)
+            if len(n_nodes) < b_round:  # static shapes: pad the tail round
+                n_nodes = np.concatenate(
+                    [n_nodes, np.full(b_round - len(n_nodes), n_nodes.min(),
+                                      n_nodes.dtype)]
+                )
+            if round_log is not None:
+                round_log.append((pad, b_round))
             context = None
             if prop_dist is not None:
                 context = jnp.asarray(prop_dist.sample_batch(n_nodes))

@@ -9,6 +9,7 @@ from jodo_tpu.configs import get_config
 
 def test_cdgs_train_and_sample(tmp_path):
     cfg = get_config("qm9_2d_cdgs")
+    cfg.data.allow_synthetic = True
     cfg.model.nf = 32
     cfg.model.n_layers = 2
     cfg.model.n_heads = 4

@@ -32,6 +32,7 @@ def test_property_distribution_sampling():
 
 def _tiny_cond_cfg():
     cfg = get_config("qm9_cond_jodo")
+    cfg.data.allow_synthetic = True
     cfg.model.nf = 32
     cfg.model.n_layers = 2
     cfg.model.n_heads = 4

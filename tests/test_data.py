@@ -126,3 +126,25 @@ def test_split_determinism():
     s2 = split_indices(1000, "GeomDrug")
     np.testing.assert_array_equal(s1["train"], s2["train"])
     assert len(s1["train"]) == 800 and len(s1["valid"]) == 100
+
+
+def test_get_dataset_missing_raises_without_optin():
+    """VERDICT r1 item 6: a missing dataset must be loud, not silent."""
+    import pytest
+
+    from jodo_tpu.configs import get_config
+
+    cfg = get_config("qm9_uncond_jodo")
+    cfg.data.root = "/nonexistent/qm9"
+    with pytest.raises((FileNotFoundError, ImportError)):
+        get_dataset(cfg, synthetic_fallback=False)
+
+
+def test_synthetic_fallback_stamps_info():
+    from jodo_tpu.configs import get_config
+
+    cfg = get_config("qm9_uncond_jodo")
+    cfg.data.root = "/nonexistent/qm9"
+    out = get_dataset(cfg, synthetic_fallback=True, synthetic_size=32)
+    info = out[-1]
+    assert info.get("synthetic") is True

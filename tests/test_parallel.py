@@ -12,6 +12,7 @@ from jodo_tpu.parallel import batch_sharding, make_mesh, replicate_state, shard_
 
 def tiny_cfg():
     cfg = get_config("qm9_uncond_jodo")
+    cfg.data.allow_synthetic = True
     cfg.model.nf = 32
     cfg.model.n_layers = 2
     cfg.model.n_heads = 4

@@ -11,6 +11,7 @@ from jodo_tpu.configs import get_config
 
 def tiny_train_cfg(tmp):
     cfg = get_config("qm9_uncond_jodo")
+    cfg.data.allow_synthetic = True
     cfg.model.nf = 32
     cfg.model.n_layers = 2
     cfg.model.n_heads = 4

@@ -17,6 +17,7 @@ from jodo_tpu.serve import SamplingService, make_handler
 @pytest.fixture(scope="module")
 def server():
     cfg = get_config("qm9_uncond_jodo")
+    cfg.data.allow_synthetic = True
     cfg.model.nf = 32
     cfg.model.n_layers = 2
     cfg.model.n_heads = 4
