@@ -78,10 +78,24 @@ class BatchLoader:
             self.property_values,
         )
 
-    def epoch(self) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, include_tail: bool = False) -> Iterator[Dict[str, np.ndarray]]:
+        """One pass over the data in fixed-size batches (static shapes).
+
+        include_tail: also yield the final partial batch, filled up to
+        batch_size by cycling samples from the epoch start (static shapes
+        forbid a ragged batch; the duplicates slightly over-weight a few
+        samples in split-mean statistics, which beats dropping the tail
+        outright — reference DataLoader semantics keep the tail too).
+        """
         order = self._epoch_order()
-        for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
+        full_end = (len(order) // self.batch_size) * self.batch_size
+        for i in range(0, full_end, self.batch_size):
             yield self._make_batch(order[i : i + self.batch_size])
+        rem = len(order) - full_end
+        if include_tail and rem > 0:
+            tail = order[full_end:]
+            fill = np.resize(order, self.batch_size - rem) if len(order) else tail
+            yield self._make_batch(np.concatenate([tail, fill]))
 
     def infinite(self) -> Iterator[Dict[str, np.ndarray]]:
         """Endless stream with background prefetch (pipeline the host

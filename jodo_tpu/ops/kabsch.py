@@ -23,9 +23,21 @@ def kabsch_rotation(coords_pred: jnp.ndarray, coords_tar: jnp.ndarray) -> jnp.nd
     """
     a = jnp.einsum("bki,bkj->bij", coords_pred, coords_tar)
     u, _, vt = jnp.linalg.svd(a)
-    sign_det = jnp.sign(jnp.linalg.det(a))
+    # reflection correction via sign(det U * det V^T): identical to
+    # sign(det A) in exact arithmetic when A is nonsingular (det A =
+    # det U * prod(sigma) * det V^T, sigma >= 0), but stays a crisp +-1
+    # for singular covariances (collinear/coplanar clouds, <=2 effective
+    # atoms) where the f32 det(A) sign is pure rounding noise and the
+    # naive formula returns reflections ~50% of the time.
+    det_uv = jnp.linalg.det(u) * jnp.linalg.det(vt)
+    sign_det = jnp.where(det_uv < 0, -1.0, 1.0).astype(a.dtype)
     corr = jnp.ones((a.shape[0], 3), dtype=a.dtype).at[:, -1].set(sign_det)
-    return jnp.einsum("bij,bj,bjk->bik", u, corr, vt)
+    rot = jnp.einsum("bij,bj,bjk->bik", u, corr, vt)
+    # non-finite fallback (should not trigger; belt-and-braces for fuzzed
+    # inputs): identity keeps the loss well-defined
+    finite = jnp.all(jnp.isfinite(rot), axis=(1, 2), keepdims=True)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=rot.dtype), rot.shape)
+    return jnp.where(finite, rot, eye)
 
 
 def align_positions(z_t: jnp.ndarray, xh: jnp.ndarray) -> jnp.ndarray:

@@ -114,6 +114,7 @@ def _bucket_pads(pad_n: int):
 def make_sampling_fn(
     config, schedule, model, nodes_dist, batch_size: int, n_samples: int,
     pad_n: int, prop_dist=None, bucketed: bool = True,
+    round_fn_cache: Optional[dict] = None,
 ) -> Callable:
     """sampling_fn(params, seed) -> list of decoded molecule tuples.
 
@@ -124,7 +125,9 @@ def make_sampling_fn(
     N^2 work by an order of magnitude. One jit compilation per distinct
     bucket, cached."""
     only_2d = bool(config.only_2D)
-    round_fns = {}
+    # round_fn_cache: pass a persistent dict to reuse the jit-compiled
+    # per-pad round functions across make_sampling_fn calls (serving)
+    round_fns = round_fn_cache if round_fn_cache is not None else {}
 
     def get_round_fn(pad):
         if pad not in round_fns:

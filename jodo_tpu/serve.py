@@ -49,9 +49,13 @@ class SamplingService:
         self._info = parts["info"]
         self._lock = threading.Lock()
         self._params = params
+        # compiled per-pad round fns persist across requests: a request only
+        # changes the number of rounds, never the compiled computation
+        self._round_fns: dict = {}
         self._make_fn = lambda n: make_sampling_fn(
             config, parts["schedule"], parts["model"], parts["nodes_dist"],
             self.batch_size, n, parts["pad_n"], prop_dist=parts["prop_dist"],
+            round_fn_cache=self._round_fns,
         )
         self.device = str(jax.devices()[0])
 

