@@ -396,8 +396,8 @@ def evaluate(config, workdir: str, eval_folder: str = "eval"):
 
     train_mols = _dataset_tuples(train_ds)
     test_mols = _dataset_tuples(test_ds)
-    edm_metric = get_edm_metric(info)
-    edm_metric_2d = get_2d_edm_metric(info)
+    edm_metric = get_edm_metric(info, train_mols=train_mols)
+    edm_metric_2d = get_2d_edm_metric(info, train_mols=train_mols)
     moses_metric = get_moses_metrics(_rdmols_or_none(test_ds))
     sub_geo_metric = None
     if (not config.only_2D) and config.eval.sub_geometry:
