@@ -99,7 +99,10 @@ def train_classifier(config, prop: str, workdir: str, steps: int = 200000,
         if step % log_freq == 0:
             logging.info("classifier step %d loss(normalised MAE): %.5f",
                          step, float(loss))
-    ckpt.save_meta({"params": params, "prop_norm": prop_norm, "prop": prop})
+    ckpt.save_meta({
+        "params": params,
+        "prop_norm": {k: np.asarray(v) for k, v in prop_norm.items()},
+    })
     return params, prop_norm, float(loss)
 
 

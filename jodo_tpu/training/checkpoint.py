@@ -42,6 +42,14 @@ class CheckpointManager:
             return state
         return self._ckptr.restore(path, state)
 
+    def restore_meta_raw(self):
+        """Restore the meta checkpoint without a target template (None when
+        absent); used for auxiliary artifacts like cached classifiers."""
+        path = os.path.join(self.meta_dir, "state")
+        if not os.path.exists(path):
+            return None
+        return self._ckptr.restore(path)
+
     # -- numbered snapshots ----------------------------------------------
     def save_numbered(self, state, index: int):
         path = os.path.join(self.ckpt_dir, f"checkpoint_{index}")

@@ -79,7 +79,12 @@ def test_conditional_train_and_eval(tmp_path):
     cfg.eval.num_samples = 8
     cfg.eval.ckpts = "1"
     cfg.eval.sub_geometry = False
+    cfg.eval.classifier_train_steps = 60
     results = run_lib.evaluate(cfg, str(tmp_path))
     res = results[1]
     assert "property_mae_0" in res and np.isfinite(res["property_mae_0"])
+    assert res["property_mae_classifiers"] == "auto_trained"
     assert 0.0 <= res["3D_atom_stable"] <= 1.0
+    # the auto-trained classifier is cached: a second evaluate reuses it
+    results2 = run_lib.evaluate(cfg, str(tmp_path))
+    assert np.isfinite(results2[1]["property_mae_0"])
