@@ -125,9 +125,10 @@ def base_config() -> ml_collections.ConfigDict:
     # TPU-specific
     config.tpu = tpu = ml_collections.ConfigDict()
     tpu.pad_nodes = 0  # 0 => round data.max_node up to a multiple of 8
-    tpu.compute_dtype = "float32"  # or 'bfloat16' for matmul-heavy paths
+    tpu.compute_dtype = "bfloat16"  # production default; f32 via --config.tpu.compute_dtype
     tpu.use_pallas = False  # fused edge-attention kernel (TPU; interpret on CPU)
     tpu.use_pallas_equi = False  # fused equi-gate kernel (currently slower; see BASELINE.md)
+    tpu.remat_attn = True  # recompute attention in bwd; see BASELINE.md r2
     tpu.mesh_shape = ""  # e.g. '8' or '4,2' ; '' => all local devices, 1-D data mesh
     tpu.donate_state = True
 

@@ -161,6 +161,7 @@ class DGTBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     use_pallas_equi: bool = False
+    remat_attn: bool = True
 
     @nn.compact
     def __call__(
@@ -206,7 +207,15 @@ class DGTBlock(nn.Module):
             h = layer_norm(h)
             edge_attr = layer_norm(edge_attr)
 
-        h_node = DenseTransMixLayer(
+        # remat: recompute the attention in the backward pass instead of
+        # saving its [B,N,N,~256]-sized tanh gate tensors as residuals —
+        # profiling shows XLA otherwise materialises them as f32
+        # layout-changing copies (~4.4 ms/step at QM9 scale, r2 BASELINE)
+        attn_cls = (
+            nn.remat(DenseTransMixLayer, static_argnums=(5,))
+            if self.remat_attn else DenseTransMixLayer
+        )
+        h_node = attn_cls(
             node_dim=self.node_dim,
             heads=self.heads,
             extra_heads=self.extra_heads,
@@ -311,6 +320,7 @@ class DGT(nn.Module):
     compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic
     use_pallas: bool = False  # fused edge-attention kernel
     use_pallas_equi: bool = False  # fused equi-update gate kernel (see BASELINE.md)
+    remat_attn: bool = True  # recompute attention in bwd (see BASELINE.md r2)
 
     @nn.compact
     def __call__(
@@ -429,6 +439,7 @@ class DGT(nn.Module):
                 dtype=dt,
                 use_pallas=self.use_pallas,
                 use_pallas_equi=self.use_pallas_equi,
+                remat_attn=self.remat_attn,
                 name=f"e_block_{i}",
             )(
                 pos,

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.pallas_attn import fused_edge_attention
+from ..ops.attn_vjp import edge_attention
 
 NEG_MASK = -1e30  # non-edges (lower than the extra-head -1e10 sentinel)
 NEG_EXTRA = -1e10
@@ -189,19 +189,35 @@ class DenseTransMixLayer(nn.Module):
             if x_ch != extra:
                 extra_adj = jnp.repeat(extra_adj, extra // x_ch, axis=-1)
 
-        # fused kernel is forward-only (no VJP defined): inference path only
-        use_fused = self.use_pallas and deterministic
-        if use_fused:
-            interpret = jax.default_backend() != "tpu"
-            out = fused_edge_attention(
-                q, k, v, edge_attr.astype(dt),
-                extra_adj if extra > 0 else None,
-                edge_mask, w0.astype(dt), w1.astype(dt),
-                sub_heads=sub_heads, sub_ch=sub_ch, heads=heads,
-                out_ch=out_ch, extra_heads=extra,
-                softmax_inf=self.softmax_inf, interpret=interpret,
+        # Two attention cores (r2 BASELINE.md measurements at QM9 scale):
+        #  * deterministic + use_pallas: ops/attn_vjp.py custom-VJP wrapper
+        #    with the Pallas fused forward (sampling / EMA eval)
+        #  * otherwise: inline jnp math under XLA autodiff; the DGTBlock
+        #    wraps this module in nn.remat so the backward recomputes the
+        #    [B,N,N,~256] tanh gates instead of saving them (15.4 vs
+        #    ~116 ms/step without remat at QM9 train scale)
+        has_dropout = self.dropout > 0.0 and not deterministic
+        # pallas path engages for deterministic calls (sampling / EMA eval);
+        # training keeps the inline autodiff core (faster in-chain, above)
+        if self.use_pallas and deterministic:
+            if has_dropout:
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - self.dropout,
+                    (b, heads, n, n),
+                )
+                drop_mask = keep.astype(dt) / (1.0 - self.dropout)
+            else:
+                drop_mask = jnp.ones((1, 1, 1, 1), dt)
+            extra_in = (
+                extra_adj.astype(dt) if extra > 0
+                else jnp.zeros((b, n, n, 1), dt)
             )
-            return out
+            return edge_attention(
+                q, k, v, edge_attr.astype(dt), extra_in, edge_mask,
+                w0.astype(dt), w1.astype(dt), drop_mask,
+                sub_heads, sub_ch, heads, out_ch, extra,
+                self.softmax_inf, True, has_dropout,
+            )
 
         q = q.reshape(b, n, sub_heads, sub_ch)
         k = k.reshape(b, n, sub_heads, sub_ch)
@@ -227,7 +243,7 @@ class DenseTransMixLayer(nn.Module):
             logits = jnp.concatenate([extra_logits, logits], axis=1)
 
         alpha = masked_pair_softmax(logits, edge_mask)  # [B, H, N, N]
-        if self.dropout > 0.0 and not deterministic:
+        if has_dropout:
             alpha = nn.Dropout(self.dropout)(alpha, deterministic=False)
 
         out = jnp.einsum(

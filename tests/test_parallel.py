@@ -35,8 +35,11 @@ def test_mesh_creation():
 
 def test_data_parallel_train_step_matches_single_device():
     """Same batch, same key: the 8-way sharded step must produce the same
-    loss and parameters as the unsharded step (pure DP is exact)."""
+    loss and parameters as the unsharded step (pure DP is exact).
+
+    f32 pinned: in bf16 the sharded reduction order perturbs low bits."""
     cfg = tiny_cfg()
+    cfg.tpu.compute_dtype = "float32"
     parts = run_lib.build_training(cfg)
     state0 = run_lib.init_state(cfg, parts)
     raw = next(iter(parts["loader"].epoch()))

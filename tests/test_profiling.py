@@ -34,6 +34,7 @@ def test_dgt_flops_matches_xla_cost_analysis():
     cfg.model.n_heads = 8
     cfg.model.dropout = 0.0
     cfg.tpu.use_pallas = False
+    cfg.tpu.compute_dtype = "float32"  # XLA's flop count is dtype-sensitive
     b, n = 4, 16
     xla = _xla_flops(cfg, b, n, 9, cfg.model.edge_ch)
     mine = dgt_forward_flops(cfg, b, n)
