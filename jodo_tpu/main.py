@@ -39,6 +39,11 @@ def main(argv=None):
     parser.add_argument("--workdir", required=True)
     parser.add_argument("--mode", choices=["train", "eval"], default="train")
     parser.add_argument("--eval_folder", default="eval")
+    parser.add_argument(
+        "--deterministic", action="store_true",
+        help="bit-reproducible runs: global python/numpy seeding + "
+        "XLA deterministic ops (reference main.py:24-31 / run_lib.py:21-33)",
+    )
     args, unknown = parser.parse_known_args(argv)
 
     # --config.model.nf 384 style overrides
@@ -65,6 +70,26 @@ def main(argv=None):
         )
     config = get_config(args.config)
     _apply_overrides(config, overrides)
+
+    # global seeding (reference set_random_seed, run_lib.py:21-33). JAX's
+    # own PRNG is already seed-threaded via config.seed; this covers host
+    # randomness (python shuffles, numpy loaders) and hashing.
+    import random as pyrandom
+
+    import numpy as np
+
+    os.environ["PYTHONHASHSEED"] = str(config.seed)
+    pyrandom.seed(config.seed)
+    np.random.seed(config.seed)
+    if args.deterministic:
+        # deterministic XLA reductions/scatters (slower; opt-in like the
+        # reference's --deterministic cudnn flag)
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " --xla_gpu_deterministic_ops"
+        ).strip()
+        import jax
+
+        jax.config.update("jax_threefry_partitionable", True)
 
     os.makedirs(args.workdir, exist_ok=True)
     log_file = os.path.join(

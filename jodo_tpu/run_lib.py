@@ -398,7 +398,17 @@ def evaluate(config, workdir: str, eval_folder: str = "eval"):
     test_mols = _dataset_tuples(test_ds)
     edm_metric = get_edm_metric(info, train_mols=train_mols)
     edm_metric_2d = get_2d_edm_metric(info, train_mols=train_mols)
-    moses_metric = get_moses_metrics(_rdmols_or_none(test_ds))
+    from .evaluation.moses_metric import HAS_MOSES, HAS_RDKIT
+
+    if HAS_RDKIT and HAS_MOSES:
+        moses_metric = get_moses_metrics(_rdmols_or_none(test_ds))
+        moses_on_tuples = False
+    else:
+        # first-party graph approximations (evaluation/graph_metrics.py)
+        from .evaluation.graph_metrics import get_graph_moses_metrics
+
+        moses_metric = get_graph_moses_metrics(test_mols, info["atom_decoder"])
+        moses_on_tuples = True
     sub_geo_metric = None
     if (not config.only_2D) and config.eval.sub_geometry:
         sub_geo_metric = get_sub_geometry_metric(test_mols, info, config.data.root)
@@ -447,13 +457,13 @@ def evaluate(config, workdir: str, eval_folder: str = "eval"):
         if config.only_2D:
             stab, rd, rdmols = edm_metric_2d(mols)
             res.update({f"2D_{k}": v for k, v in {**stab, **rd}.items()})
-            res.update(moses_metric(rdmols))
+            res.update(moses_metric(mols if moses_on_tuples else rdmols))
         else:
             stab, rd, rdmols = edm_metric(mols)
             res.update({f"3D_{k}": v for k, v in {**stab, **rd}.items()})
             stab2, rd2, rdmols2 = edm_metric_2d(mols)
             res.update({f"2D_{k}": v for k, v in {**stab2, **rd2}.items()})
-            res.update(moses_metric(rdmols2))
+            res.update(moses_metric(mols if moses_on_tuples else rdmols2))
             if sub_geo_metric is not None:
                 res.update(sub_geo_metric(mols))
         if maes is not None:
