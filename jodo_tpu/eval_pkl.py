@@ -105,7 +105,19 @@ def main(argv=None):
     samples = load_samples(args.pkl_path, info, only_2d=(args.type == "2D"))
     print(f"Loaded {len(samples)} molecules from {args.pkl_path}")
 
-    moses_metric = get_moses_metrics([] if test_tuples is None else [])
+    from .evaluation.moses_metric import HAS_MOSES, HAS_RDKIT
+
+    if HAS_RDKIT and HAS_MOSES:
+        moses_metric = get_moses_metrics([] if test_tuples is None else [])
+        moses_on_tuples = False
+    else:
+        # first-party fallback (evaluation/graph_metrics.py): full MOSES
+        # block incl. the FRGD FCD analog, QED/SA/logP/Filters
+        from .evaluation.graph_metrics import get_graph_moses_metrics
+
+        moses_metric = get_graph_moses_metrics(
+            test_tuples or [], info["atom_decoder"])
+        moses_on_tuples = True
 
     if args.type in ("3D", "both"):
         metric = get_edm_metric(info, train_mols)
@@ -114,8 +126,8 @@ def main(argv=None):
               "validity: %s, complete: %s" % (
                   stab["atom_stable"], stab["mol_stable"],
                   rd["Validity"], rd["Complete"]))
-        mose_res = moses_metric(rdmols)
-        print("Metric-3D || FCD:", mose_res.get("FCD"))
+        mose_res = moses_metric(samples if moses_on_tuples else rdmols)
+        print("Metric-3D || MOSES block:", mose_res)
         if args.sub_geometry and test_tuples is not None:
             geo = get_sub_geometry_metric(test_tuples, info, root)(samples)
             print("Metric-Align || Bond Length MMD: %.4f, Bond Angle MMD: %.4f,"
@@ -130,8 +142,8 @@ def main(argv=None):
               "validity: %s, complete: %s, unique: %s, novelty: %s" % (
                   stab["atom_stable"], stab["mol_stable"], rd["Validity"],
                   rd["Complete"], rd["Unique"], rd["Novelty"]))
-        mose_res = moses_metric(rdmols)
-        print("Metric-2D || FCD:", mose_res.get("FCD"))
+        mose_res = moses_metric(samples if moses_on_tuples else rdmols)
+        print("Metric-2D || MOSES block:", mose_res)
 
 
 if __name__ == "__main__":

@@ -181,18 +181,31 @@ def get_graph_moses_metrics(test_mols: Iterable, atom_decoder: Sequence[str],
                             max_ref: int = 5000):
     """metric_fn(gen_tuples) -> MOSES-shaped dict from decoded tuples
     (pos, atom_type, bond_matrix, fc). First-party approximations; see
-    module docstring for the exact constructions."""
+    module docstring, descriptors.py (QED/SA/logP/Filters) and frechet.py
+    (the FCD analog) for the exact constructions."""
+    from .descriptors import (MolView, build_sa_fragment_scores,
+                              crippen_logp, passes_moses_filters, qed,
+                              sa_score)
+    from .frechet import FrechetRandomGNN, frechet_distance, graph_activations
+
     test = _decode(list(test_mols)[:max_ref], atom_decoder)
     test_bits = np.stack([morgan_bits(s, b, f) for s, b, f in test]) if test \
         else np.zeros((0, N_BITS), bool)
     test_frags: Counter = Counter()
     test_scafs: Counter = Counter()
     test_mw = []
+    test_views = []
     for s, b, f in test:
         test_frags.update(_frag_counter(s, b, f))
         test_scafs[_scaffold_hash(s, b)] += 1
         test_mw.append(sum(ATOMIC_MASS.get(x, 0.0) for x in s))
+        test_views.append(MolView(s, b, f))
     test_mw = np.asarray(test_mw)
+    # SA fragment-frequency table fitted from the test split (stands in
+    # for RDKit's PubChem-derived fpscores.pkl; descriptors.py docstring)
+    sa_frag_scores = build_sa_fragment_scores(test_views)
+    featurizer = FrechetRandomGNN()
+    test_act = graph_activations(test, featurizer) if test else None
 
     def metric_fn(gen_mols):
         gen = _decode(gen_mols, atom_decoder)
@@ -204,19 +217,31 @@ def get_graph_moses_metrics(test_mols: Iterable, atom_decoder: Sequence[str],
         frags: Counter = Counter()
         scafs: Counter = Counter()
         mw = []
+        views = []
         for s, b, f in gen:
             frags.update(_frag_counter(s, b, f))
             scafs[_scaffold_hash(s, b)] += 1
             mw.append(sum(ATOMIC_MASS.get(x, 0.0) for x in s))
+            views.append(MolView(s, b, f))
+        frgd = None
+        if test_act is not None and len(gen) >= 2:
+            gen_act = graph_activations(gen, featurizer)
+            frgd = frechet_distance(gen_act, test_act)
         return {
-            "FCD": None,  # ChemNet weights unavailable (BASELINE.md)
+            # Fréchet Random-GNN Distance — deterministic first-party FCD
+            # analog (frechet.py; ChemNet weights unavailable, BASELINE.md)
+            "FCD": frgd,
             "SNN": _tanimoto_max_mean(bits, test_bits) if len(test_bits)
             else None,
             "Frag": _cos(frags, test_frags) if test_frags else None,
             "Scaf": _cos(scafs, test_scafs) if test_scafs else None,
             "IntDiv": _int_div(bits),
-            "Filters": None,  # MOSES rule set requires RDKit
-            "QED": None, "SA": None, "logP": None,  # RDKit descriptors
+            "Filters": float(np.mean([passes_moses_filters(v)
+                                      for v in views])),
+            "QED": float(np.mean([qed(v) for v in views])),
+            "SA": float(np.mean([sa_score(v, sa_frag_scores)
+                                 for v in views])),
+            "logP": float(np.mean([crippen_logp(v) for v in views])),
             "weight": _w1(np.asarray(mw), test_mw) if len(test_mw) else None,
             "metric_impl": "molgraph",
         }
