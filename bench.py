@@ -41,6 +41,9 @@ def _measure(cfg_name, info, batch, steps, n_samples, feat, edge_ch, pad_n):
     cfg.model.dropout = 0.0
     cfg.tpu.compute_dtype = os.environ.get("JODO_BENCH_DTYPE", "bfloat16")
     cfg.tpu.use_pallas = os.environ.get("JODO_BENCH_PALLAS", "1") == "1"
+    cfg.tpu.use_pallas_edge_chain = (
+        os.environ.get("JODO_BENCH_EDGE_CHAIN", "0") == "1"
+    )
 
     model = create_model(cfg)
     schedule = NoiseSchedule.create(cfg.sde.schedule)

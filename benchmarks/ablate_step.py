@@ -7,8 +7,11 @@ Usage: python benchmarks/ablate_step.py [pad_n] [batch]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +30,11 @@ def time_scan_forward(model, params, batch, pad_n, feat, edge_ch, iters=60):
         pred, e_pred = model.apply(
             params, t, xh, nm, em, e, noise, deterministic=True
         )
-        return (pred.astype(xh.dtype), e_pred.astype(e.dtype)), ()
+        # keep a sequential dependency even when pred shapes differ (2D
+        # variant drops the position channels)
+        xh = xh * (1.0 + 0.0 * jnp.mean(pred))
+        e = e * (1.0 + 0.0 * jnp.mean(e_pred))
+        return (xh, e), ()
 
     nm = jnp.ones((batch, pad_n))
     em = jnp.ones((batch, pad_n, pad_n)) - jnp.eye(pad_n)[None]

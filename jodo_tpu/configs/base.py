@@ -36,6 +36,10 @@ def base_config() -> ml_collections.ConfigDict:
     # opt-in: train/eval on a synthetic dataset when raw files are absent
     # (tests/benchmarks/smoke runs). Off by default: missing data raises.
     data.allow_synthetic = False
+    data.synthetic_size = 512  # molecules in the synthetic fallback set
+    # 'chemical' = valence-exact, 3D-stable-by-construction molecules
+    # (data/synthetic.py); 'random' = cheap random graphs
+    data.synthetic_kind = "chemical"
 
     # SDE
     config.sde = sde = ml_collections.ConfigDict()
@@ -86,6 +90,10 @@ def base_config() -> ml_collections.ConfigDict:
     training.snapshot_freq = 50000
     training.snapshot_freq_for_preemption = 10000
     training.snapshot_sampling = True
+    # steps chained inside one XLA dispatch (lax.scan): amortises per-step
+    # host->device dispatch latency ~K-fold (critical over tunneled TPU
+    # links). 1 = reference-style one dispatch per step.
+    training.steps_per_dispatch = 8
 
     # optimization
     config.optim = optim = ml_collections.ConfigDict()
@@ -128,6 +136,7 @@ def base_config() -> ml_collections.ConfigDict:
     tpu.compute_dtype = "bfloat16"  # production default; f32 via --config.tpu.compute_dtype
     tpu.use_pallas = False  # fused edge-attention kernel (TPU; interpret on CPU)
     tpu.use_pallas_equi = False  # fused equi-gate kernel (currently slower; see BASELINE.md)
+    tpu.use_pallas_edge_chain = False  # fused post-attention edge+equi chain kernel
     tpu.remat_attn = True  # recompute attention in bwd; see BASELINE.md r2
     tpu.mesh_shape = ""  # e.g. '8' or '4,2' ; '' => all local devices, 1-D data mesh
     tpu.donate_state = True

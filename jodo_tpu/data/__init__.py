@@ -15,7 +15,7 @@ from .core import MolData, collate_batch, split_indices
 from .datasets_info import DATASET_INFO, get_dataset_info
 from .loader import BatchLoader
 from .process import prepare_2d_batch, prepare_graph_batch, prepare_node_batch
-from .synthetic import synthetic_dataset
+from .synthetic import chemical_synthetic_dataset, synthetic_dataset
 from . import ingest
 
 __all__ = [
@@ -80,9 +80,19 @@ def get_dataset(config, synthetic_fallback: bool = False, synthetic_size: int = 
             name, type(exc).__name__, exc, synthetic_size,
         )
         info = dict(info, synthetic=True)
-        data = synthetic_dataset(config.data.info_name, num_mols=synthetic_size,
-                                 with_pos=not config.only_2D,
-                                 max_nodes=int(config.data.max_node))
+        # data.synthetic_kind: 'chemical' (default) = valence-exact,
+        # 3D-stable-by-construction molecules, so quality metrics have a
+        # real ceiling; 'random' = the cheap random-graph generator.
+        kind = str(config.data.get("synthetic_kind", "chemical"))
+        if kind == "chemical" and not config.only_2D:
+            data = chemical_synthetic_dataset(
+                config.data.info_name, num_mols=synthetic_size,
+                max_nodes=int(config.data.max_node))
+        else:
+            data = synthetic_dataset(
+                config.data.info_name, num_mols=synthetic_size,
+                with_pos=not config.only_2D,
+                max_nodes=int(config.data.max_node))
         splits = split_indices(len(data), "synthetic")
         if "cond" in config.exp_type:
             tr = splits["train"]

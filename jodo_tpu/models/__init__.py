@@ -64,6 +64,7 @@ def create_model(config):
         compute_dtype=_compute_dtype(config),
         use_pallas=_use_pallas(config),
         use_pallas_equi=_flag(config, "use_pallas_equi"),
+        use_pallas_edge_chain=_flag(config, "use_pallas_edge_chain"),
         remat_attn=bool(getattr(config.tpu, "remat_attn", True)),
     )
     if name == "DGT":

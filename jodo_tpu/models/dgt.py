@@ -161,6 +161,7 @@ class DGTBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     use_pallas_equi: bool = False
+    use_pallas_edge_chain: bool = False  # fused post-attn edge+equi kernel
     remat_attn: bool = True
 
     @nn.compact
@@ -232,8 +233,8 @@ class DGTBlock(nn.Module):
         n2e_bias = self.param(
             "node2edge_bias", nn.initializers.zeros, (self.edge_dim,)
         )
-        h_edge = y[:, :, None, :] + y[:, None, :, :] + n2e_bias.astype(self.dtype)
 
+        # node stream first (needed by both edge paths)
         nm = node_mask[..., None]
         if self.cond_time:
             h_node = h_in + modulate_gate(ng_msa, h_node)
@@ -248,16 +249,6 @@ class DGTBlock(nn.Module):
                     ),
                 )
             ) * nm
-            h_edge = e_in + modulate_gate(eg_msa, h_edge, pair=True)
-            h_edge = modulate(layer_norm(h_edge), es_mlp, esc_mlp)
-            e_out = h_edge + modulate_gate(
-                eg_mlp,
-                GatedFFN(self.edge_dim, self.mlp_ratio, self.dropout,
-                         dtype=self.dtype, name="ff_edge")(
-                    h_edge, deterministic
-                ),
-                pair=True,
-            )
         else:
             h_node = h_in + h_node
             h_node = layer_norm(h_node) * nm
@@ -268,21 +259,117 @@ class DGTBlock(nn.Module):
                     h_node, deterministic
                 )
             ) * nm
+
+        ffn_edge = GatedFFN(self.edge_dim, self.mlp_ratio, self.dropout,
+                            dtype=self.dtype, name="ff_edge")
+        equi = EquivariantCoordUpdate(
+            self.node_dim, self.extra_heads, dtype=self.dtype,
+            use_pallas=self.use_pallas_equi, name="equi_update"
+        ) if self.equivariant else None
+
+        # fused Pallas path: the whole post-attention pair-tensor chain
+        # (node2edge -> gated residual -> LN/mod -> edge FFN -> equi gate)
+        # in one kernel; probe calls instantiate the identical param tree
+        # so checkpoints/converters are path-independent.
+        fused = (
+            self.use_pallas_edge_chain and deterministic and self.equivariant
+            and not (self.dropout > 0.0 and not deterministic)
+        )
+        if fused:
+            e_out, pos = self._fused_edge_chain(
+                y, n2e_bias, e_in, dist_feat, extra_adj, edge_mask,
+                h_out, pos, ffn_edge, equi,
+                (eg_msa, es_mlp, esc_mlp, eg_mlp) if self.cond_time else None,
+                edge_time_emb, deterministic,
+            )
+            return h_out, e_out, pos
+
+        h_edge = y[:, :, None, :] + y[:, None, :, :] + n2e_bias.astype(self.dtype)
+        if self.cond_time:
+            h_edge = e_in + modulate_gate(eg_msa, h_edge, pair=True)
+            h_edge = modulate(layer_norm(h_edge), es_mlp, esc_mlp)
+            e_out = h_edge + modulate_gate(
+                eg_mlp, ffn_edge(h_edge, deterministic), pair=True,
+            )
+        else:
             h_edge = e_in + h_edge
             h_edge = layer_norm(h_edge)
-            e_out = h_edge + GatedFFN(
-                self.edge_dim, self.mlp_ratio, self.dropout,
-                dtype=self.dtype, name="ff_edge"
-            )(h_edge, deterministic)
+            e_out = h_edge + ffn_edge(h_edge, deterministic)
 
         if self.equivariant:
-            pos = EquivariantCoordUpdate(
-                self.node_dim, self.extra_heads, dtype=self.dtype,
-                use_pallas=self.use_pallas_equi, name="equi_update"
-            )(h_out, pos, e_out, dist_feat, edge_mask, edge_time_emb,
-              extra_adj, deterministic)
+            pos = equi(h_out, pos, e_out, dist_feat, edge_mask,
+                       edge_time_emb, extra_adj, deterministic)
 
         return h_out, e_out, pos
+
+    def _fused_edge_chain(self, y, n2e_bias, e_in, dist_feat, extra_adj,
+                          edge_mask, h_out, pos, ffn_edge, equi, mods,
+                          edge_time_emb, deterministic):
+        from ..ops.pallas_edge_chain import fused_edge_chain
+
+        b, n = e_in.shape[0], e_in.shape[1]
+        dt = self.dtype
+
+        # probe calls: instantiate ff_edge / equi_update params on tiny
+        # slices (param shapes depend only on channel dims)
+        _ = ffn_edge(e_in[:, :1, :1, :], True)
+        _ = equi(h_out[:, :1], pos[:, :1], e_in[:, :1, :1],
+                 dist_feat[:, :1, :1], edge_mask[:, :1, :1], edge_time_emb,
+                 extra_adj[:, :1, :1] if extra_adj is not None else None,
+                 True)
+        ffp = ffn_edge.variables["params"]
+        eqp = equi.variables["params"]
+
+        if mods is not None:
+            eg_msa, es_mlp, esc_mlp, eg_mlp = mods
+        else:
+            eg_msa = eg_mlp = jnp.ones((b, self.edge_dim), dt)
+            es_mlp = esc_mlp = jnp.zeros((b, self.edge_dim), dt)
+
+        # equi input projections (node-level matmuls stay in XLA)
+        z_i = h_out @ eqp["input_lin_i"]["kernel"].astype(dt) \
+            + eqp["input_lin_i"]["bias"].astype(dt)
+        z_j = h_out @ eqp["input_lin_j"]["kernel"].astype(dt)
+        z = jnp.concatenate([z_i, z_j], axis=-1)
+
+        if edge_time_emb is not None:
+            ss = nn.silu(edge_time_emb) @ eqp["time_mlp"]["kernel"].astype(dt) \
+                + eqp["time_mlp"]["bias"].astype(dt)
+            equi_shift, equi_scale = jnp.split(ss, 2, axis=-1)
+        else:
+            equi_shift = jnp.zeros((b, self.node_dim), dt)
+            equi_scale = jnp.zeros((b, self.node_dim), dt)
+
+        if self.extra_heads > 0 and extra_adj is not None:
+            extra = extra_adj
+            if extra.shape[-1] != self.extra_heads:
+                extra = jnp.repeat(extra, self.extra_heads // extra.shape[-1],
+                                   axis=-1)
+            n_gate_heads = 1 + self.extra_heads
+        else:
+            extra = jnp.zeros((b, n, n, 1), dt)
+            n_gate_heads = 1
+
+        posf = pos.astype(jnp.float32)
+        diff = posf[:, :, None, :] - posf[:, None, :, :]
+        r = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-16))
+
+        interpret = jax.default_backend() != "tpu"
+        e_out, w = fused_edge_chain(
+            y, z, e_in.astype(dt), dist_feat.astype(dt), extra.astype(dt),
+            edge_mask, r,
+            eg_msa, es_mlp, esc_mlp, eg_mlp, equi_shift, equi_scale,
+            n2e_bias.astype(dt),
+            ffp["Dense_0"]["kernel"].astype(dt), ffp["Dense_0"]["bias"].astype(dt),
+            ffp["Dense_1"]["kernel"].astype(dt), ffp["Dense_1"]["bias"].astype(dt),
+            eqp["input_lin_e_kernel"].astype(dt), eqp["input_lin_d_kernel"].astype(dt),
+            eqp["coord_mlp_0_kernel"].astype(dt), eqp["coord_mlp_0_bias"].astype(dt),
+            eqp["coord_mlp_1_kernel"].astype(dt), eqp["coord_norm_scale"],
+            n_gate_heads=n_gate_heads, interpret=interpret,
+        )
+        rowsum = jnp.sum(w, axis=2, keepdims=True)
+        pos = pos + posf * rowsum - jnp.einsum("bij,bjc->bic", w, posf)
+        return e_out, pos
 
 
 def modulate_gate(gate, x, pair=False):
@@ -320,6 +407,7 @@ class DGT(nn.Module):
     compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic
     use_pallas: bool = False  # fused edge-attention kernel
     use_pallas_equi: bool = False  # fused equi-update gate kernel (see BASELINE.md)
+    use_pallas_edge_chain: bool = False  # fused post-attn edge+equi kernel
     remat_attn: bool = True  # recompute attention in bwd (see BASELINE.md r2)
 
     @nn.compact
@@ -439,6 +527,7 @@ class DGT(nn.Module):
                 dtype=dt,
                 use_pallas=self.use_pallas,
                 use_pallas_equi=self.use_pallas_equi,
+                use_pallas_edge_chain=self.use_pallas_edge_chain,
                 remat_attn=self.remat_attn,
                 name=f"e_block_{i}",
             )(

@@ -44,6 +44,20 @@ def shard_batch(batch, mesh: Optional[Mesh]):
     )
 
 
+def shard_stacked_batch(batch, mesh: Optional[Mesh]):
+    """Place a K-step stacked batch [K, B, ...] with the BATCH axis (dim 1)
+    sharded over the 'data' mesh axis (multi-step dispatch; no-op without
+    a mesh)."""
+    if mesh is None:
+        return batch
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(None, "data", *([None] * (np.ndim(x) - 2))))
+        ),
+        batch,
+    )
+
+
 def replicate_state(state, mesh: Optional[Mesh]):
     if mesh is None:
         return state

@@ -18,18 +18,22 @@ class StepTimer:
     def __init__(self, window: int = 100):
         self.window = window
         self._times = []
+        self._counts = []
 
-    def tick(self):
+    def tick(self, n_steps: int = 1):
+        """Record a dispatch covering `n_steps` training steps."""
         self._times.append(time.perf_counter())
+        self._counts.append(n_steps)
         if len(self._times) > self.window + 1:
             self._times.pop(0)
+            self._counts.pop(0)
 
     @property
     def steps_per_sec(self) -> Optional[float]:
         if len(self._times) < 2:
             return None
         dt = self._times[-1] - self._times[0]
-        return (len(self._times) - 1) / dt if dt > 0 else None
+        return sum(self._counts[1:]) / dt if dt > 0 else None
 
 
 def dgt_forward_flops(config, batch: int, pad_n: int) -> float:

@@ -45,7 +45,8 @@ from .evaluation import (
 from .models import create_model, get_node_dist
 from .models.egnn import EGNNRegressor
 from .ops import DataScaler
-from .parallel import make_mesh, replicate_state, shard_batch
+from .parallel import (make_mesh, replicate_state, shard_batch,
+                       shard_stacked_batch)
 from .profiling import StepTimer
 from .sampling import make_cond_sampling_eval_fn, make_sampling_fn
 from .training import (
@@ -53,6 +54,7 @@ from .training import (
     TrainState,
     make_apply_fn,
     make_eval_step,
+    make_multi_train_step,
     make_optimizer,
     make_train_step,
 )
@@ -95,7 +97,9 @@ def build_training(config, dataset=None, synthetic_fallback=None):
     if dataset is None:
         if synthetic_fallback is None:
             synthetic_fallback = bool(config.data.get("allow_synthetic", False))
-        dataset = get_dataset(config, synthetic_fallback=synthetic_fallback)
+        dataset = get_dataset(
+            config, synthetic_fallback=synthetic_fallback,
+            synthetic_size=int(config.data.get("synthetic_size", 512)))
     if cond:
         first_train, train_ds, val_ds, test_ds, info = dataset
     else:
@@ -153,6 +157,10 @@ def build_training(config, dataset=None, synthetic_fallback=None):
         model, prepared_loss_fn, tx, config.model.ema_decay,
         config.optim.grad_clip, donate=bool(config.tpu.donate_state),
     )
+    multi_train_step = make_multi_train_step(
+        model, prepared_loss_fn, tx, config.model.ema_decay,
+        config.optim.grad_clip, donate=bool(config.tpu.donate_state),
+    )
 
     loader = make_loader(
         config, train_ds, pad_n, config.training.batch_size,
@@ -167,6 +175,7 @@ def build_training(config, dataset=None, synthetic_fallback=None):
         tx=tx,
         loss_fn=prepared_loss_fn,
         train_step=train_step,
+        multi_train_step=multi_train_step,
         loader=loader,
         nodes_dist=nodes_dist,
         prop_dist=prop_dist,
@@ -250,14 +259,48 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
     timer = StepTimer()
     train_iter = parts["loader"].infinite()
     train_step = parts["train_step"]
+    multi_train_step = parts.get("multi_train_step")
     last_metrics = {}
 
-    for step in range(initial_step, n_iters + 1):
-        raw = next(train_iter)
-        batch = shard_batch({k: jnp.asarray(v) for k, v in raw.items()}, mesh)
-        key, sub = jax.random.split(key)
-        state, metrics = train_step(state, batch, sub)
-        timer.tick()
+    # steps per device dispatch: scanning K steps inside one XLA program
+    # amortises the per-dispatch host->device latency (dominant over
+    # tunneled/remote TPU links; see make_multi_train_step). Action
+    # boundaries (log/preempt/snapshot) are respected by shrinking the
+    # last chunk before each boundary.
+    spd = int(config.training.get("steps_per_dispatch", 8) or 1)
+    freqs = [config.training.log_freq,
+             config.training.snapshot_freq_for_preemption,
+             config.training.snapshot_freq]
+
+    def _next_boundary(s):
+        nb = n_iters
+        for f in freqs:
+            if f > 0:
+                m = s if s % f == 0 else s + (f - s % f)
+                nb = min(nb, m)
+        return nb
+
+    step = initial_step
+    while step <= n_iters:
+        k_steps = max(1, min(spd, _next_boundary(step) - step + 1,
+                             n_iters - step + 1))
+        if k_steps == 1 or multi_train_step is None:
+            raw = next(train_iter)
+            batch = shard_batch({k: jnp.asarray(v) for k, v in raw.items()},
+                                mesh)
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, batch, sub)
+        else:
+            raws = [next(train_iter) for _ in range(k_steps)]
+            stacked = {
+                k: jnp.asarray(np.stack([r[k] for r in raws]))
+                for k in raws[0]
+            }
+            stacked = shard_stacked_batch(stacked, mesh)
+            key, sub = jax.random.split(key)
+            state, metrics = multi_train_step(state, stacked, sub)
+        timer.tick(k_steps)
+        step += k_steps - 1  # actions run at the chunk's last step index
 
         if step % config.training.log_freq == 0:
             loss = float(metrics["loss"])
@@ -292,6 +335,8 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
                 mols = _sample_with_ema(sampling_fn, state, seed=step)
                 _log_snapshot_metrics(config, step, mols, edm_metric, edm_metric_2d)
                 _visualize_snapshot(config, workdir, step, mols, parts["info"])
+
+        step += 1
 
     return state, last_metrics
 

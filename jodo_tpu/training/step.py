@@ -51,11 +51,7 @@ def make_apply_fn(model, train: bool):
     return bound
 
 
-def make_train_step(model, loss_fn, tx, ema_decay: float, grad_clip: float,
-                    donate: bool = True) -> Callable:
-    """Returns jitted train_step(state, batch, key) -> (state, metrics)."""
-    bind = make_apply_fn(model, train=True)
-
+def _train_step_body(bind, loss_fn, tx, ema_decay, grad_clip):
     def train_step(state: TrainState, batch, key):
         def objective(params):
             return loss_fn(bind(params), key, batch)
@@ -78,8 +74,52 @@ def make_train_step(model, loss_fn, tx, ema_decay: float, grad_clip: float,
         metrics = {"loss": loss, "grad_norm": grad_norm}
         return new_state, metrics
 
+    return train_step
+
+
+def make_train_step(model, loss_fn, tx, ema_decay: float, grad_clip: float,
+                    donate: bool = True) -> Callable:
+    """Returns jitted train_step(state, batch, key) -> (state, metrics)."""
+    bind = make_apply_fn(model, train=True)
+    train_step = _train_step_body(bind, loss_fn, tx, ema_decay, grad_clip)
     donate_argnums = (0,) if donate else ()
     return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_multi_train_step(model, loss_fn, tx, ema_decay: float,
+                          grad_clip: float, donate: bool = True) -> Callable:
+    """Returns jitted multi_step(state, batches, key) -> (state, metrics):
+    a `lax.scan` over K chained train steps in ONE device dispatch.
+
+    `batches` is the single-step batch pytree with a leading [K] axis.
+    Per-step PRNG keys are split from `key` inside the program. Metrics
+    report the LAST step's loss (matching the single-step loop's logging)
+    plus the chunk mean.
+
+    Why: the reference-style one-dispatch-per-step loop pays host->device
+    dispatch latency every step (over a remote/tunneled TPU this dominates:
+    ~200 ms/step vs 15 ms of compute at QM9 scale). Scanning K steps per
+    dispatch amortises it K-fold; K is `config.training.steps_per_dispatch`.
+    """
+    bind = make_apply_fn(model, train=True)
+    step_fn = _train_step_body(bind, loss_fn, tx, ema_decay, grad_clip)
+
+    def multi_step(state: TrainState, batches, key):
+        k = jax.tree.leaves(batches)[0].shape[0]
+        keys = jax.random.split(key, k)
+
+        def body(st, xs):
+            b, kk = xs
+            st, m = step_fn(st, b, kk)
+            return st, (m["loss"], m["grad_norm"])
+
+        state, (losses, norms) = jax.lax.scan(body, state, (batches, keys))
+        metrics = {"loss": losses[-1], "grad_norm": norms[-1],
+                   "loss_mean": jnp.mean(losses)}
+        return state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(multi_step, donate_argnums=donate_argnums)
 
 
 def make_eval_step(model, loss_fn) -> Callable:

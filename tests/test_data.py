@@ -164,3 +164,34 @@ def test_epoch_include_tail_covers_every_sample():
     assert n_default == (len(train) // 8) * 8
     assert n_tail >= len(train)
     assert n_tail % 8 == 0
+
+
+def test_chemical_synthetic_dataset_is_stable_and_valid():
+    """chemical_synthetic_dataset: 100% 3D-stable + graph-valid by
+    construction (rejection-sampled against the metric's own bond
+    tables)."""
+    import numpy as np
+
+    from jodo_tpu.data.synthetic import chemical_synthetic_dataset
+    from jodo_tpu.data.datasets_info import get_dataset_info
+    from jodo_tpu.evaluation.molgraph import eval_graph_mols
+    from jodo_tpu.evaluation.stability import check_stability
+
+    info = get_dataset_info("qm9_with_h")
+    ds = chemical_synthetic_dataset(num_mols=16, seed=3)
+    tuples = []
+    for k in range(len(ds)):
+        a0, a1 = ds.atom_offsets[k], ds.atom_offsets[k + 1]
+        b0, b1 = ds.bond_offsets[k], ds.bond_offsets[k + 1]
+        at, pos = ds.atom_type[a0:a1], ds.pos[a0:a1]
+        n = a1 - a0
+        bond = np.zeros((n, n), np.int64)
+        bond[ds.bond_src[b0:b1], ds.bond_dst[b0:b1]] = ds.bond_type[b0:b1]
+        stable, _, _, _ = check_stability(pos, at, info)
+        assert stable
+        tuples.append((at, bond, None))
+    res = eval_graph_mols(tuples, info["atom_decoder"])
+    assert res["Validity"] == 1.0
+    assert res["Complete"] == 1.0
+    # descriptor properties are populated and finite
+    assert ds.y is not None and np.isfinite(ds.y).all()

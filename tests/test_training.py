@@ -124,3 +124,54 @@ def test_checkpoint_roundtrip(tmp_path):
     assert mgr.available_checkpoints() == [3]
     restored2 = mgr.restore_numbered(state, 3)
     assert int(restored2.step) == 0
+
+
+def test_multi_train_step_matches_sequential():
+    """K steps scanned in one dispatch == K sequential single steps with
+    the same per-step keys (exact same state pytree)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jodo_tpu.configs import get_config
+    from jodo_tpu.run_lib import build_training, init_state
+
+    cfg = get_config("qm9_uncond_jodo")
+    cfg.model.nf = 32
+    cfg.model.n_layers = 1
+    cfg.model.n_heads = 4
+    cfg.model.dropout = 0.0
+    cfg.data.max_node = 12
+    cfg.tpu.pad_nodes = 16
+    cfg.training.batch_size = 4
+    cfg.tpu.donate_state = False
+    cfg.data.allow_synthetic = True
+    cfg.data.synthetic_kind = "random"
+
+    parts = build_training(cfg, synthetic_fallback=True)
+    state0 = init_state(cfg, parts)
+
+    loader = parts["loader"].infinite()
+    k = 3
+    raws = [next(loader) for _ in range(k)]
+    key = jax.random.PRNGKey(7)
+    keys = jax.random.split(key, k)
+
+    # sequential
+    state_seq = state0
+    for raw, kk in zip(raws, keys):
+        batch = {kname: jnp.asarray(v) for kname, v in raw.items()}
+        state_seq, m = parts["train_step"](state_seq, batch, kk)
+
+    # one dispatch
+    stacked = {kname: jnp.asarray(np.stack([r[kname] for r in raws]))
+               for kname in raws[0]}
+    state_multi, mm = parts["multi_train_step"](state0, stacked, key)
+
+    assert int(state_multi.step) == int(state_seq.step) == 3
+    for a, b in zip(jax.tree.leaves(state_seq.params),
+                    jax.tree.leaves(state_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(float(mm["loss"]), float(m["loss"]),
+                               atol=1e-5, rtol=1e-5)
