@@ -84,6 +84,55 @@ def _measure(cfg_name, info, batch, steps, n_samples, feat, edge_ch, pad_n):
     }
 
 
+def _measure_train(cfg_name, batch, pad_n, feat, edge_ch, chunks=6, k=32):
+    """Real-loop training throughput: K-step scan dispatches (the
+    production steps_per_dispatch path) on a resident synthetic batch.
+    MFU uses ~3.5x forward matmul FLOPs (fwd + bwd ~ 3x, + the 50%
+    self-conditioning teacher forward)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jodo_tpu.configs import get_config
+    from jodo_tpu.profiling import dgt_forward_flops, mfu
+    from jodo_tpu.run_lib import build_training, init_state
+
+    cfg = get_config(cfg_name)
+    cfg.data.allow_synthetic = True
+    cfg.data.max_node = pad_n
+    cfg.tpu.pad_nodes = pad_n
+    cfg.training.batch_size = batch
+    cfg.model.dropout = 0.0
+    cfg.tpu.donate_state = True
+    parts = build_training(cfg, synthetic_fallback=True)
+    state = init_state(cfg, parts)
+    it = parts["loader"].infinite()
+    raws = [next(it) for _ in range(k)]
+    stacked = {kk: jnp.asarray(np.stack([r[kk] for r in raws]))
+               for kk in raws[0]}
+    key = jax.random.PRNGKey(0)
+    multi = parts["multi_train_step"]
+    state, m = multi(state, stacked, key)  # compile
+    float(m["loss"])
+    # same key every chunk (times the pipeline, not the RNG); a VALUE
+    # fetch per chunk — block_until_ready under-waits over the axon
+    # tunnel (BASELINE.md r3 measurement-artifact note)
+    t0 = _time.perf_counter()
+    for _ in range(chunks):
+        state, m = multi(state, stacked, key)
+        float(m["loss"])
+    dt = _time.perf_counter() - t0
+    iters_per_sec = chunks * k / dt
+    flops = 3.5 * dgt_forward_flops(cfg, batch, pad_n) * chunks * k
+    util = mfu(flops, dt)
+    return {"iters_per_sec": round(iters_per_sec, 2),
+            "ms_per_iter": round(dt / (chunks * k) * 1e3, 3),
+            "steps_per_dispatch": k,
+            "mfu_approx": round(util, 4) if util is not None else None}
+
+
 def main():
     from jodo_tpu.data.datasets_info import GEOM_WITH_H_1, QM9_WITH_H
 
@@ -95,6 +144,13 @@ def main():
                    feat=9, edge_ch=2, pad_n=32)
 
     extra = {"qm9@1000": qm9}
+
+    if os.environ.get("JODO_BENCH_TRAIN", "1") == "1":
+        try:
+            extra["qm9_train"] = _measure_train(
+                "qm9_uncond_jodo", 128, 32, feat=9, edge_ch=2)
+        except Exception as exc:  # keep the headline metric robust
+            extra["qm9_train"] = {"error": f"{type(exc).__name__}: {exc}"}
 
     if os.environ.get("JODO_BENCH_GEOM", "1") == "1":
         geom_batch = max(8, batch // 8)

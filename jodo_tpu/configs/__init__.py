@@ -10,7 +10,9 @@ def qm9_uncond_jodo():
 
 def geom_uncond_jodo():
     """Joint 2D+3D JODO on GEOM-Drugs (reference: configs/vpsde_geom_uncond_jodo.py)."""
+
     c = base_config()
+    c.tpu.remat_attn = True  # N=184 pair residuals: remat for memory
     c.data.root = "data/geom"
     c.data.name = "GeomDrug"
     c.data.processed_file = "data_geom_drug_1.pt"
@@ -123,6 +125,7 @@ def qm9_2d_cdgs():
 def geom_2d_cdgs():
     """CDGS on GEOM-Drugs 2D (configs/vpsde_geom_2d_cdgs.py)."""
     c = qm9_2d_cdgs()
+    c.tpu.remat_attn = True  # N=184 pair residuals: remat for memory
     c.data.root = "data/geom"
     c.data.name = "GeomDrug"
     c.data.processed_file = "data_geom_drug_1.pt"

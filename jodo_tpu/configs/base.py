@@ -92,8 +92,9 @@ def base_config() -> ml_collections.ConfigDict:
     training.snapshot_sampling = True
     # steps chained inside one XLA dispatch (lax.scan): amortises per-step
     # host->device dispatch latency ~K-fold (critical over tunneled TPU
-    # links). 1 = reference-style one dispatch per step.
-    training.steps_per_dispatch = 8
+    # links, where one dispatch of the full train-state pytree costs
+    # ~450 ms; BASELINE.md r3). 1 = reference-style one dispatch per step.
+    training.steps_per_dispatch = 32
 
     # optimization
     config.optim = optim = ml_collections.ConfigDict()
@@ -137,7 +138,11 @@ def base_config() -> ml_collections.ConfigDict:
     tpu.use_pallas = False  # fused edge-attention kernel (TPU; interpret on CPU)
     tpu.use_pallas_equi = False  # fused equi-gate kernel (currently slower; see BASELINE.md)
     tpu.use_pallas_edge_chain = False  # fused post-attention edge+equi chain kernel
-    tpu.remat_attn = True  # recompute attention in bwd; see BASELINE.md r2
+    # recompute attention in bwd. r3 value-fetch timings: OFF is faster at
+    # QM9 scale (64.6 vs 76.8 ms/iter bf16); keep ON for GEOM-scale pair
+    # tensors (memory). r2's opposite conclusion was an enqueue-rate
+    # measurement artifact (BASELINE.md r3).
+    tpu.remat_attn = False
     tpu.mesh_shape = ""  # e.g. '8' or '4,2' ; '' => all local devices, 1-D data mesh
     tpu.donate_state = True
 

@@ -136,10 +136,23 @@ def make_sampling_fn(
 
     def _batch_for_pad(pad: int) -> int:
         """Per-bucket batch: smaller pads leave the chip idle at the base
-        batch, so scale the round size with the pad ratio (measured optima
-        on v5e, BASELINE.md r2: pad16->2x, pad24->2x at QM9 scale)."""
-        mult = int(round((pad_n / pad) ** 2 / 2))
+        batch, so scale the round size with the pad ratio. Measured optima
+        on v5e (BASELINE.md r2): QM9 pad16 -> 2x, pad24 -> 2x, pad32 -> 1x
+        — every sub-max pad gains from at least doubling even when the
+        quadratic ratio rounds to 1x."""
+        ratio = pad_n / pad
+        if ratio >= 2.0:
+            mult = int(round(ratio ** 2 / 2))
+        else:
+            mult = 2 if pad < pad_n else 1
         return batch_size * max(1, min(8, mult))
+
+    def _decode_round(out, n_nodes):
+        if only_2d:
+            one_hot, fc, edge_types, nm, em = out
+            return mol_process_2d(one_hot, fc, n_nodes, edge_types)
+        pos, one_hot, fc, edge_types, nm, em = out
+        return mol_process(one_hot, pos, fc, n_nodes, edge_types)
 
     def sampling_fn(params, seed: int = 0, progress_cb=None, round_log=None):
         key = jax.random.PRNGKey(seed)
@@ -148,6 +161,7 @@ def make_sampling_fn(
         if bucketed:
             n_nodes_all = np.sort(n_nodes_all)[::-1]
         mols: List = []
+        pending = None
         start = 0
         while start < total:
             key, sub = jax.random.split(key)
@@ -171,12 +185,15 @@ def make_sampling_fn(
             if prop_dist is not None:
                 context = jnp.asarray(prop_dist.sample_batch(n_nodes))
             out = get_round_fn(pad)(params, sub, jnp.asarray(n_nodes), context)
-            if only_2d:
-                one_hot, fc, edge_types, nm, em = out
-                mols += mol_process_2d(one_hot, fc, n_nodes, edge_types)
-            else:
-                pos, one_hot, fc, edge_types, nm, em = out
-                mols += mol_process(one_hot, pos, fc, n_nodes, edge_types)
+            # pipeline: the dispatch above is async — decode the PREVIOUS
+            # round on the host while the device runs this one
+            if pending is not None:
+                mols += _decode_round(*pending)
+                if progress_cb is not None:
+                    progress_cb(len(mols), n_samples)
+            pending = (out, n_nodes)
+        if pending is not None:
+            mols += _decode_round(*pending)
             if progress_cb is not None:
                 progress_cb(len(mols), n_samples)
         pyrandom.shuffle(mols)
