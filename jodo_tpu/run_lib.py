@@ -280,23 +280,62 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
                 nb = min(nb, m)
         return nb
 
+    # chunk prefetch: collate+stack the NEXT chunk on a background thread
+    # while the device runs the current one (the single-core host's stack
+    # cost would otherwise serialise with compute)
+    import queue as _queue
+    import threading as _threading
+
+    def _chunk_sizes():
+        s = initial_step
+        while s <= n_iters:
+            k_s = max(1, min(spd, _next_boundary(s) - s + 1,
+                             n_iters - s + 1))
+            yield k_s
+            s += k_s
+
+    def _make_chunk(k_steps):
+        if k_steps == 1:
+            raw = next(train_iter)
+            return {k: np.asarray(v) for k, v in raw.items()}
+        raws = [next(train_iter) for _ in range(k_steps)]
+        return {k: np.stack([r[k] for r in raws]) for k in raws[0]}
+
+    chunk_q: _queue.Queue = _queue.Queue(maxsize=2)
+    use_prefetch = multi_train_step is not None
+
+    def _producer():
+        try:
+            for k_s in _chunk_sizes():
+                chunk_q.put((k_s, _make_chunk(k_s)))
+        except Exception as exc:  # surface loader errors in the main loop
+            chunk_q.put(exc)
+        chunk_q.put(None)
+
+    if use_prefetch:
+        _threading.Thread(target=_producer, daemon=True).start()
+
     step = initial_step
     while step <= n_iters:
-        k_steps = max(1, min(spd, _next_boundary(step) - step + 1,
-                             n_iters - step + 1))
+        if use_prefetch:
+            item = chunk_q.get()
+            if isinstance(item, Exception):
+                raise item
+            if item is None:
+                break
+            k_steps, host_chunk = item
+        else:
+            k_steps = max(1, min(spd, _next_boundary(step) - step + 1,
+                                 n_iters - step + 1))
+            host_chunk = _make_chunk(k_steps)
         if k_steps == 1 or multi_train_step is None:
-            raw = next(train_iter)
-            batch = shard_batch({k: jnp.asarray(v) for k, v in raw.items()},
-                                mesh)
+            batch = shard_batch(
+                {k: jnp.asarray(v) for k, v in host_chunk.items()}, mesh)
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, batch, sub)
         else:
-            raws = [next(train_iter) for _ in range(k_steps)]
-            stacked = {
-                k: jnp.asarray(np.stack([r[k] for r in raws]))
-                for k in raws[0]
-            }
-            stacked = shard_stacked_batch(stacked, mesh)
+            stacked = shard_stacked_batch(
+                {k: jnp.asarray(v) for k, v in host_chunk.items()}, mesh)
             key, sub = jax.random.split(key)
             state, metrics = multi_train_step(state, stacked, sub)
         timer.tick(k_steps)
