@@ -26,7 +26,8 @@ import os
 import time
 
 
-def _measure(cfg_name, info, batch, steps, n_samples, feat, edge_ch, pad_n):
+def _measure(cfg_name, info, batch, steps, n_samples, feat, edge_ch, pad_n,
+             method="ancestral", dpm_order=3):
     import jax
     import jax.numpy as jnp
 
@@ -38,9 +39,15 @@ def _measure(cfg_name, info, batch, steps, n_samples, feat, edge_ch, pad_n):
 
     cfg = get_config(cfg_name)
     cfg.sampling.steps = steps
+    cfg.sampling.method = method
+    if method == "fast":
+        cfg.sampling.dpm_solver_order = dpm_order
     cfg.model.dropout = 0.0
     cfg.tpu.compute_dtype = os.environ.get("JODO_BENCH_DTYPE", "bfloat16")
     cfg.tpu.use_pallas = os.environ.get("JODO_BENCH_PALLAS", "1") == "1"
+    cfg.tpu.use_pallas_block = (
+        os.environ.get("JODO_BENCH_BLOCK", "1") == "1"
+    )
     cfg.tpu.use_pallas_edge_chain = (
         os.environ.get("JODO_BENCH_EDGE_CHAIN", "0") == "1"
     )
@@ -145,6 +152,16 @@ def main():
 
     extra = {"qm9@1000": qm9}
 
+    if os.environ.get("JODO_BENCH_FAST", "1") == "1":
+        # DPM-Solver hybrid at 50 steps (reference README.md:145: "great
+        # results from 1000 steps to 50"); quality at 50 steps is tracked
+        # in BASELINE.md quality tables
+        fast = _measure("qm9_uncond_jodo", QM9_WITH_H, batch,
+                        int(os.environ.get("JODO_BENCH_FAST_STEPS", "50")),
+                        n_samples, feat=9, edge_ch=2, pad_n=32,
+                        method="fast", dpm_order=3)
+        extra["qm9@50_fast"] = fast
+
     if os.environ.get("JODO_BENCH_TRAIN", "1") == "1":
         try:
             extra["qm9_train"] = _measure_train(
@@ -168,12 +185,19 @@ def main():
         )
         extra["geom"] = geom
 
+    # Anchor bracket (BASELINE.md r2 derivation): the conservative anchor
+    # deliberately over-credits the A100 PyTorch reference at 10 mols/s;
+    # the analytic FLOPs/roofline derivation brackets it at 1.8-5 mols/s
+    # (central 4). vs_baseline keeps the conservative anchor; the derived
+    # central anchor is reported alongside.
     baseline = float(os.environ.get("JODO_BASELINE_MOLS_PER_SEC", "10.0"))
+    derived = float(os.environ.get("JODO_BASELINE_DERIVED", "4.0"))
     print(json.dumps({
         "metric": "qm9_sampling_mols_per_sec",
         "value": qm9["mols_per_sec"],
         "unit": "mols/sec",
         "vs_baseline": round(qm9["mols_per_sec"] / baseline, 3),
+        "vs_baseline_derived": round(qm9["mols_per_sec"] / derived, 3),
         "extra": extra,
     }))
 

@@ -17,6 +17,10 @@ Semantics mirrored (file:line of the reference):
   * MultiCondEquiUpdate coordinate update  models/mol_gnn.py:51-94
   * CondGaussianLayer / LearnedSinusodial  models/layers.py:273-334
   * DGT_concat top-level flow              models/mol_gnn.py:491-594
+  * DGT_concat_2D (variant="2d"): EquivariantMixBlock_2D blocks, no
+    position/distance path                 models/mol_gnn.py:325-407,797-946
+  * DGT_concat_sim (variant="sim"): Trans_Layer attention (no extra
+    heads), CondEquiUpdate single gate     models/mol_gnn.py:16-48,97-210,949-1124
 
 This is NOT part of the TPU compute path — torch, CPU, test/verification
 only.
@@ -40,6 +44,7 @@ def dense_dgt_forward(
     cond_x=None,
     cond_edge_x=None,
     collect: Optional[dict] = None,
+    variant: str = "joint",
 ):
     """Reference-semantics forward on dense tensors.
 
@@ -56,7 +61,7 @@ def dense_dgt_forward(
     hidden = int(m.nf)
     edge_hidden = hidden // 4
     heads = int(m.n_heads)
-    extra = int(m.n_extra_heads)
+    extra = 0 if variant == "sim" else int(m.n_extra_heads)
     sub_heads = heads - extra
     out_ch = hidden // heads
     sub_ch = (heads * out_ch) // sub_heads
@@ -110,10 +115,13 @@ def dense_dgt_forward(
         alpha_sub = torch.einsum("bihc,bjhc,bijhc->bijh", q, k, ea) / math.sqrt(
             out_ch
         )
-        ex = extra_adj
-        if bool(m.softmax_inf):
-            ex = torch.where(ex == 0.0, torch.full_like(ex, -1e10), ex)
-        logits = torch.cat([ex, alpha_sub], dim=-1)  # extra heads first
+        if extra_adj is None:  # Trans_Layer (models/layers.py:13-89)
+            logits = alpha_sub
+        else:
+            ex = extra_adj
+            if bool(m.softmax_inf):
+                ex = torch.where(ex == 0.0, torch.full_like(ex, -1e10), ex)
+            logits = torch.cat([ex, alpha_sub], dim=-1)  # extra heads first
 
         mask = edge_mask[..., None]
         logits = torch.where(mask > 0, logits, torch.full_like(logits, -1e30))
@@ -150,15 +158,23 @@ def dense_dgt_forward(
         inv = F.silu(inv)
         inv = torch.tanh(lin(f"{eq}.coord_mlp.2", inv))
 
-        adjs = torch.cat([torch.ones_like(inv[..., :1]), extra_adj], dim=-1)
-        inv = (inv * adjs).mean(-1, keepdim=True)
+        if extra_adj is None:  # CondEquiUpdate (models/mol_gnn.py:16-48)
+            inv = inv.mean(-1, keepdim=True)
+        else:
+            adjs = torch.cat([torch.ones_like(inv[..., :1]), extra_adj],
+                             dim=-1)
+            inv = (inv * adjs).mean(-1, keepdim=True)
         trans = coord_diff * inv * edge_mask[..., None]
         return pos + trans.sum(dim=2)
 
-    # ---------------- top-level flow (mol_gnn.py:491-594) ----------------
+    # ------- top-level flow (mol_gnn.py:491-594 / 797-946 / 1020-1124) -------
     b, n = xh.shape[0], xh.shape[1]
-    pos_init = pos = xh[:, :, 0:3].clone()
-    h = xh[:, :, 3:].clone()
+    if variant == "2d":
+        pos_init = pos = None
+        h = xh.clone()
+    else:
+        pos_init = pos = xh[:, :, 0:3].clone()
+        h = xh[:, :, 3:].clone()
 
     if cond_x is None:
         cond_x = torch.zeros_like(xh)
@@ -167,8 +183,12 @@ def dense_dgt_forward(
     else:
         cond_adj_2d = (cond_edge_x[..., 0:1] >= float(m.edge_quan_th)).float()
         cond_adj_2d = cond_adj_2d * edge_mask[..., None]
-    cond_pos = cond_x[:, :, 0:3]
-    cond_h = cond_x[:, :, 3:]
+    if variant == "2d":
+        cond_pos = None
+        cond_h = cond_x
+    else:
+        cond_pos = cond_x[:, :, 0:3]
+        cond_h = cond_x[:, :, 3:]
     h = torch.cat([h, cond_h], dim=-1)
 
     # time embedding (LearnedSinusodialposEmb: [x, sin, cos])
@@ -179,24 +199,35 @@ def dense_dgt_forward(
     time_emb = F.gelu(time_emb)
     time_emb = lin("time_mlp.3", time_emb)
 
-    # distances + spatial adjacency from self-cond positions
-    # (utils.coord2diff_adj, models/utils.py:109-118: squared distances)
-    diff = cond_pos[:, :, None, :] - cond_pos[:, None, :, :]
-    radial = (diff * diff).sum(-1, keepdim=True) * edge_mask[..., None]
-    cond_adj_spatial = (
-        (radial <= float(m.spatial_cut_off)).float() * edge_mask[..., None]
-    )
-    if radial.sum() == 0:
-        distances = radial.repeat(1, 1, 1, dist_dim)
-    elif bool(m.dist_gbf):
-        distances = gbf("dist_layer", radial, time_emb)
+    if variant == "2d":
+        # DGT_concat_2D: no position channel (mol_gnn.py:891-922)
+        extra_adj = cond_adj_2d
+        if extra_adj.shape[-1] != extra:
+            extra_adj = extra_adj.repeat_interleave(
+                extra // extra_adj.shape[-1], -1)
+        edge_attr = torch.cat([edge_x, cond_edge_x], dim=-1)
     else:
-        distances = radial
-    extra_adj = torch.cat([cond_adj_2d, cond_adj_spatial], dim=-1)
-    if extra_adj.shape[-1] != extra:
-        extra_adj = extra_adj.repeat_interleave(extra // extra_adj.shape[-1], -1)
-
-    edge_attr = torch.cat([edge_x, cond_edge_x, distances], dim=-1)
+        # distances + spatial adjacency from self-cond positions
+        # (utils.coord2diff_adj, models/utils.py:109-118: squared distances)
+        diff = cond_pos[:, :, None, :] - cond_pos[:, None, :, :]
+        radial = (diff * diff).sum(-1, keepdim=True) * edge_mask[..., None]
+        cond_adj_spatial = (
+            (radial <= float(m.spatial_cut_off)).float() * edge_mask[..., None]
+        )
+        if radial.sum() == 0:
+            distances = radial.repeat(1, 1, 1, dist_dim)
+        elif bool(m.dist_gbf):
+            distances = gbf("dist_layer", radial, time_emb)
+        else:
+            distances = radial
+        if variant == "sim":  # DGT_concat_sim: no extra heads
+            extra_adj = None
+        else:
+            extra_adj = torch.cat([cond_adj_2d, cond_adj_spatial], dim=-1)
+            if extra_adj.shape[-1] != extra:
+                extra_adj = extra_adj.repeat_interleave(
+                    extra // extra_adj.shape[-1], -1)
+        edge_attr = torch.cat([edge_x, cond_edge_x, distances], dim=-1)
     h = lin("node_emb", h)
     edge_attr = lin("edge_emb", edge_attr)
 
@@ -206,12 +237,14 @@ def dense_dgt_forward(
         blk = f"e_block_{i}"
         h_in, e_in = h, edge_attr
 
-        # block distance feature from the *current* positions
-        dd = pos[:, :, None, :] - pos[:, None, :, :]
-        dist = (dd * dd).sum(-1, keepdim=True)
-        if bool(m.dist_gbf):
-            dist = gbf(f"{blk}.dist_layer", dist, time_emb)
-        edge_attr = lin(f"{blk}.edge_emb", torch.cat([dist, edge_attr], dim=-1))
+        if variant != "2d":
+            # block distance feature from the *current* positions
+            dd = pos[:, :, None, :] - pos[:, None, :, :]
+            dist = (dd * dd).sum(-1, keepdim=True)
+            if bool(m.dist_gbf):
+                dist = gbf(f"{blk}.dist_layer", dist, time_emb)
+            edge_attr = lin(f"{blk}.edge_emb",
+                            torch.cat([dist, edge_attr], dim=-1))
 
         if bool(m.cond_time):
             n_mod = lin(f"{blk}.node_time_mlp.1", F.silu(time_emb))
@@ -248,16 +281,19 @@ def dense_dgt_forward(
             ffe = lin(f"{blk}.ff_linear4", F.silu(lin(f"{blk}.ff_linear3", h_edge)))
             edge_attr = h_edge + ffe
 
-        pos = equi_update(blk, h, pos, edge_attr, dist, time_emb, extra_adj)
-
-        if bool(m.CoM):
-            mean = (pos * nm).sum(1, keepdim=True) / nm.sum(1, keepdim=True)
-            pos = (pos - mean) * nm
+        if variant != "2d":
+            pos = equi_update(blk, h, pos, edge_attr, dist, time_emb,
+                              extra_adj)
+            if bool(m.CoM):
+                mean = (pos * nm).sum(1, keepdim=True) / nm.sum(1,
+                                                               keepdim=True)
+                pos = (pos - mean) * nm
 
         if collect is not None:
             collect[f"h_{i}"] = h
             collect[f"edge_{i}"] = edge_attr
-            collect[f"pos_{i}"] = pos
+            if variant != "2d":
+                collect[f"pos_{i}"] = pos
 
         atom_hids.append(lin(f"node_{i}", h))
         edge_hids.append(lin(f"edge_{i}", edge_attr))
@@ -276,6 +312,9 @@ def dense_dgt_forward(
     )
     edge_pred = edge_pred * edge_mask[..., None]
     edge_pred = 0.5 * (edge_pred + edge_pred.permute(0, 2, 1, 3))
+
+    if variant == "2d":
+        return atom_pred, edge_pred
 
     nm = node_mask[..., None]
     if bool(m.pred_data):

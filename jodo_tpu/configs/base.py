@@ -95,6 +95,10 @@ def base_config() -> ml_collections.ConfigDict:
     # links, where one dispatch of the full train-state pytree costs
     # ~450 ms; BASELINE.md r3). 1 = reference-style one dispatch per step.
     training.steps_per_dispatch = 32
+    # train-side pad ladder (CSV of pads; "" = flat dataset-max padding).
+    # Each multi-step dispatch chunk draws same-size-bucket batches and
+    # compiles at that pad (see data.loader.BucketedLoader).
+    training.bucket_pads = ""
 
     # optimization
     config.optim = optim = ml_collections.ConfigDict()
@@ -138,6 +142,7 @@ def base_config() -> ml_collections.ConfigDict:
     tpu.use_pallas = False  # fused edge-attention kernel (TPU; interpret on CPU)
     tpu.use_pallas_equi = False  # fused equi-gate kernel (currently slower; see BASELINE.md)
     tpu.use_pallas_edge_chain = False  # fused post-attention edge+equi chain kernel
+    tpu.use_pallas_block = False  # fully-fused per-layer pair chain (ops/pallas_dgt)
     # recompute attention in bwd. r3 value-fetch timings: OFF is faster at
     # QM9 scale (64.6 vs 76.8 ms/iter bf16); keep ON for GEOM-scale pair
     # tensors (memory). r2's opposite conclusion was an enqueue-rate

@@ -13,7 +13,7 @@ import numpy as np
 
 from .core import MolData, collate_batch, split_indices
 from .datasets_info import DATASET_INFO, get_dataset_info
-from .loader import BatchLoader
+from .loader import BatchLoader, BucketedLoader
 from .process import prepare_2d_batch, prepare_graph_batch, prepare_node_batch
 from .synthetic import chemical_synthetic_dataset, synthetic_dataset
 from . import ingest
@@ -25,6 +25,7 @@ __all__ = [
     "DATASET_INFO",
     "get_dataset_info",
     "BatchLoader",
+    "BucketedLoader",
     "prepare_graph_batch",
     "prepare_2d_batch",
     "prepare_node_batch",
@@ -32,6 +33,7 @@ __all__ = [
     "ingest",
     "get_dataset",
     "make_loader",
+    "make_bucketed_loader",
 ]
 
 
@@ -126,5 +128,23 @@ def make_loader(config, data: MolData, pad_n: int, batch_size: int,
         bond_types=config.data.bond_types,
         property_values=property_values,
         shuffle=shuffle,
+        seed=seed,
+    )
+
+
+def make_bucketed_loader(config, data: MolData, pads, batch_size: int,
+                         property_values=None, seed: int = 0):
+    """Train-side pad ladder (see BucketedLoader): each multi-step chunk
+    runs at its bucket's pad instead of the dataset max."""
+    return BucketedLoader(
+        data,
+        np.arange(len(data)),
+        batch_size=batch_size,
+        pads=pads,
+        num_atom_types=config.data.atom_types,
+        compress_edge=config.data.compress_edge,
+        include_aromatic=config.data.include_aromatic,
+        bond_types=config.data.bond_types,
+        property_values=property_values,
         seed=seed,
     )

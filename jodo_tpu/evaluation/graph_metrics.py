@@ -236,12 +236,14 @@ def get_graph_moses_metrics(test_mols: Iterable, atom_decoder: Sequence[str],
             "Frag": _cos(frags, test_frags) if test_frags else None,
             "Scaf": _cos(scafs, test_scafs) if test_scafs else None,
             "IntDiv": _int_div(bits),
+            # None (not NaN) when nothing decoded, matching SNN/Frag/Scaf
             "Filters": float(np.mean([passes_moses_filters(v)
-                                      for v in views])),
-            "QED": float(np.mean([qed(v) for v in views])),
+                                      for v in views])) if views else None,
+            "QED": float(np.mean([qed(v) for v in views])) if views else None,
             "SA": float(np.mean([sa_score(v, sa_frag_scores)
-                                 for v in views])),
-            "logP": float(np.mean([crippen_logp(v) for v in views])),
+                                 for v in views])) if views else None,
+            "logP": float(np.mean([crippen_logp(v)
+                                   for v in views])) if views else None,
             "weight": _w1(np.asarray(mw), test_mw) if len(test_mw) else None,
             "metric_impl": "molgraph",
         }

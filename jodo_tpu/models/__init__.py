@@ -65,6 +65,7 @@ def create_model(config):
         use_pallas=_use_pallas(config),
         use_pallas_equi=_flag(config, "use_pallas_equi"),
         use_pallas_edge_chain=_flag(config, "use_pallas_edge_chain"),
+        use_pallas_block=_flag(config, "use_pallas_block"),
         remat_attn=bool(getattr(config.tpu, "remat_attn", True)),
     )
     if name == "DGT":

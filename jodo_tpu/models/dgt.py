@@ -162,6 +162,7 @@ class DGTBlock(nn.Module):
     use_pallas: bool = False
     use_pallas_equi: bool = False
     use_pallas_edge_chain: bool = False  # fused post-attn edge+equi kernel
+    use_pallas_block: bool = False  # fully-fused pair chain (ops/pallas_dgt)
     remat_attn: bool = True
 
     @nn.compact
@@ -177,6 +178,15 @@ class DGTBlock(nn.Module):
         edge_time_emb=None,
         deterministic=True,
     ):
+        # fully-fused sampling path: both pair-chain kernels of
+        # ops/pallas_dgt.py; the pair stream never round-trips HBM between
+        # fusions. Training/2D keep the XLA path below.
+        if self.use_pallas_block and deterministic and self.equivariant:
+            return self._fused_block(
+                pos, h, edge_attr, node_mask, edge_mask, extra_adj,
+                node_time_emb, edge_time_emb,
+            )
+
         h_in, e_in = h, edge_attr
         dist_feat = None
 
@@ -184,9 +194,12 @@ class DGTBlock(nn.Module):
             sq_dist = pairwise_sq_dist(pos)[..., None]  # [B,N,N,1]
             if self.dist_gbf:
                 dist_dim = self.edge_dim
+                # cast to the stream dtype at creation: both consumers
+                # (edge_emb, equi y_d) cast anyway, so this halves the
+                # materialised pair-tensor traffic with identical numerics
                 dist_feat = GBF_LAYERS[self.gbf_name](dist_dim, name="dist_layer")(
                     sq_dist, edge_time_emb
-                )
+                ).astype(self.dtype)
             else:
                 dist_feat = sq_dist
             edge_attr = nn.Dense(self.edge_dim, dtype=self.dtype, name="edge_emb")(
@@ -302,6 +315,218 @@ class DGTBlock(nn.Module):
 
         return h_out, e_out, pos
 
+    def _fused_block(self, pos, h, e_in, node_mask, edge_mask, extra_adj,
+                     node_time_emb, edge_time_emb):
+        """Fully-fused pair chain: ops/pallas_dgt kernels A+B.
+
+        Node-level math runs through the ordinary flax modules; pair-side
+        modules are probe-instantiated on tiny slices so the param tree is
+        identical to the XLA path (checkpoint/converter-compatible)."""
+        from ..ops.pallas_dgt import fused_edge_equi, fused_pre_attention
+
+        dt = self.dtype
+        f32 = jnp.float32
+        b, n = h.shape[0], h.shape[1]
+        dist_dim = self.edge_dim if self.dist_gbf else 1
+        e_ch = e_in.shape[-1]
+        interpret = jax.default_backend() != "tpu"
+        h_in = h
+
+        sq = pairwise_sq_dist(pos)  # [B,N,N] f32
+
+        # ---- per-graph modulation vectors (node-level) ----
+        if self.cond_time:
+            n_mod = nn.Dense(self.node_dim * 6, dtype=dt,
+                             name="node_time_mlp")(nn.silu(node_time_emb))
+            e_mod6 = nn.Dense(self.edge_dim * 6, dtype=dt,
+                              name="edge_time_mlp")(nn.silu(edge_time_emb))
+            (ns_msa, nsc_msa, ng_msa, ns_mlp, nsc_mlp, ng_mlp) = jnp.split(
+                n_mod, 6, -1)
+            (es_msa, esc_msa, eg_msa, es_mlp, esc_mlp, eg_mlp) = jnp.split(
+                e_mod6, 6, -1)
+            h_ln = modulate(layer_norm(h), ns_msa, nsc_msa)
+            e_mod_a = jnp.concatenate([es_msa, esc_msa], -1)
+            e_mod_b = jnp.concatenate([eg_msa, es_mlp, esc_mlp, eg_mlp], -1)
+        else:
+            h_ln = layer_norm(h)
+            e_mod_a = jnp.zeros((b, 2 * self.edge_dim), dt)
+            e_mod_b = jnp.zeros((b, 4 * self.edge_dim), dt)
+
+        # ---- GBF params + per-graph distance time-modulation ----
+        gbf_time = False
+        if self.dist_gbf:
+            dist_layer = GBF_LAYERS[self.gbf_name](dist_dim,
+                                                   name="dist_layer")
+            _ = dist_layer(sq[:, :1, :1, None], edge_time_emb)
+            dl = dist_layer.variables["params"]
+            means = dl["means"][None, :]
+            stds = dl["stds"][None, :]
+            if self.gbf_name == "CondGaussianLayer" and edge_time_emb is not None:
+                gss = (nn.silu(edge_time_emb).astype(f32)
+                       @ dl["Dense_0"]["kernel"] + dl["Dense_0"]["bias"])
+                gbf_time = True
+            else:
+                gss = jnp.zeros((b, 2), f32)
+        else:
+            means = stds = jnp.zeros((1, 1), f32)
+            gss = jnp.zeros((b, 2), f32)
+
+        # ---- edge_emb Dense split into per-operand kernels ----
+        edge_emb = nn.Dense(self.edge_dim, dtype=dt, name="edge_emb")
+        _ = edge_emb(jnp.zeros((b, 1, 1, dist_dim + e_ch), dt))
+        eek = edge_emb.variables["params"]["kernel"]
+        eeb = edge_emb.variables["params"]["bias"][None, :]
+        w_d0 = eek[0:1]
+        w_dg = eek[1:dist_dim] if self.dist_gbf else jnp.zeros(
+            (1, self.edge_dim), f32)
+        w_ee = eek[dist_dim:]
+
+        # ---- attention projections (node-level) ----
+        attn = DenseTransMixLayer(
+            node_dim=self.node_dim, heads=self.heads,
+            extra_heads=self.extra_heads, softmax_inf=self.softmax_inf,
+            dropout=self.dropout, dtype=dt, use_pallas=False, name="attn",
+        )
+        probe_extra = (jnp.zeros((b, 1, 1, self.extra_heads), dt)
+                       if self.extra_heads > 0 else None)
+        _ = attn(h_ln[:, :1], jnp.zeros((b, 1, 1, self.edge_dim), dt),
+                 edge_mask[:, :1, :1], probe_extra, True)
+        ap = attn.variables["params"]
+        q = h_ln @ ap["lin_query"]["kernel"].astype(dt) \
+            + ap["lin_query"]["bias"].astype(dt)
+        k = h_ln @ ap["lin_key"]["kernel"].astype(dt) \
+            + ap["lin_key"]["bias"].astype(dt)
+        v = h_ln @ ap["lin_value"]["kernel"].astype(dt) \
+            + ap["lin_value"]["bias"].astype(dt)
+
+        extra = self.extra_heads
+        out_ch = self.node_dim // self.heads
+        sub_heads = self.heads - extra
+        sub_ch = (self.heads * out_ch) // sub_heads
+        extra_k = None
+        if extra > 0 and extra_adj is not None:
+            extra_k = extra_adj
+            if extra_k.shape[-1] != extra:
+                extra_k = jnp.repeat(extra_k, extra // extra_k.shape[-1],
+                                     axis=-1)
+            extra_k = extra_k.astype(dt)
+
+        attn_out = fused_pre_attention(
+            sq, e_in.astype(dt), extra_k, edge_mask, q, k, v,
+            gss, e_mod_a, means, stds, w_d0, w_dg, w_ee, eeb,
+            ap["lin_edge0_kernel"].astype(dt),
+            ap["lin_edge1_kernel"].astype(dt),
+            sub_heads=sub_heads, sub_ch=sub_ch, heads=self.heads,
+            out_ch=out_ch, extra_heads=extra, softmax_inf=self.softmax_inf,
+            dist_gbf=self.dist_gbf, gbf_time_mod=gbf_time,
+            cond_time=self.cond_time, equivariant=True, interpret=interpret,
+        )
+
+        # ---- node stream (identical to the XLA path) ----
+        y = nn.Dense(self.edge_dim, use_bias=False, dtype=dt,
+                     name="node2edge_lin")(attn_out)
+        n2e_bias = self.param(
+            "node2edge_bias", nn.initializers.zeros, (self.edge_dim,)
+        )
+        nm = node_mask[..., None]
+        if self.cond_time:
+            h_node = h_in + modulate_gate(ng_msa, attn_out)
+            h_node = modulate(layer_norm(h_node), ns_mlp, nsc_mlp) * nm
+            h_out = (
+                h_node
+                + modulate_gate(
+                    ng_mlp,
+                    GatedFFN(self.node_dim, self.mlp_ratio, self.dropout,
+                             dtype=dt, name="ff_node")(h_node, True),
+                )
+            ) * nm
+        else:
+            h_node = h_in + attn_out
+            h_node = layer_norm(h_node) * nm
+            h_out = (
+                h_node
+                + GatedFFN(self.node_dim, self.mlp_ratio, self.dropout,
+                           dtype=dt, name="ff_node")(h_node, True)
+            ) * nm
+
+        # ---- pair-side module params for kernel B (probe calls) ----
+        ffn_edge = GatedFFN(self.edge_dim, self.mlp_ratio, self.dropout,
+                            dtype=dt, name="ff_edge")
+        _ = ffn_edge(jnp.zeros((b, 1, 1, self.edge_dim), dt), True)
+        ffp = ffn_edge.variables["params"]
+        equi = EquivariantCoordUpdate(
+            self.node_dim, self.extra_heads, dtype=dt,
+            use_pallas=False, name="equi_update",
+        )
+        _ = equi(h_out[:, :1], pos[:, :1],
+                 jnp.zeros((b, 1, 1, self.edge_dim), dt),
+                 jnp.zeros((b, 1, 1, dist_dim), dt),
+                 edge_mask[:, :1, :1], edge_time_emb,
+                 extra_k[:, :1, :1] if extra_k is not None else None, True)
+        eqp = equi.variables["params"]
+
+        z_i = h_out @ eqp["input_lin_i"]["kernel"].astype(dt) \
+            + eqp["input_lin_i"]["bias"].astype(dt)
+        z_j = h_out @ eqp["input_lin_j"]["kernel"].astype(dt)
+
+        if edge_time_emb is not None:
+            ss = nn.silu(edge_time_emb) @ eqp["time_mlp"]["kernel"].astype(dt) \
+                + eqp["time_mlp"]["bias"].astype(dt)
+            eq_ss = ss  # shift ++ scale (time_mlp emits [B, 2*Hd])
+        else:
+            eq_ss = jnp.zeros((b, 2 * self.node_dim), dt)
+
+        import os as _os
+        if _os.environ.get("JODO_FUSE_B", "1") != "1":
+            # ablation path: kernel A + the XLA post-attention chain
+            if self.dist_gbf:
+                dist_feat = dist_layer(sq[..., None], edge_time_emb)
+            else:
+                dist_feat = sq[..., None]
+            h_edge = y[:, :, None, :] + y[:, None, :, :] \
+                + n2e_bias.astype(dt)
+            if self.cond_time:
+                h_edge = e_in + modulate_gate(eg_msa, h_edge, pair=True)
+                h_edge = modulate(layer_norm(h_edge), es_mlp, esc_mlp)
+                e_out = h_edge + modulate_gate(
+                    eg_mlp, ffn_edge(h_edge, True), pair=True)
+            else:
+                h_edge = e_in + h_edge
+                h_edge = layer_norm(h_edge)
+                e_out = h_edge + ffn_edge(h_edge, True)
+            pos = equi(h_out, pos, e_out, dist_feat, edge_mask,
+                       edge_time_emb, extra_k, True)
+            return h_out, e_out, pos
+
+        eq_wd = eqp["input_lin_d_kernel"]
+        eq_wd0 = eq_wd[0:1]
+        eq_wdg = eq_wd[1:] if self.dist_gbf else jnp.zeros(
+            (1, self.node_dim), f32)
+
+        e_out, w = fused_edge_equi(
+            sq, e_in.astype(dt), extra_k, edge_mask, y, z_i, z_j,
+            gss, e_mod_b, eq_ss,
+            eqp["coord_norm_scale"][None, :],
+            n2e_bias[None, :],
+            ffp["Dense_0"]["kernel"].astype(dt),
+            ffp["Dense_0"]["bias"][None, :],
+            ffp["Dense_1"]["kernel"].astype(dt),
+            ffp["Dense_1"]["bias"][None, :],
+            means, stds,
+            eqp["input_lin_e_kernel"].astype(dt), eq_wd0, eq_wdg,
+            eqp["coord_mlp_0_kernel"].astype(dt),
+            eqp["coord_mlp_0_bias"][None, :],
+            eqp["coord_mlp_1_kernel"].astype(dt),
+            n_gate_heads=(1 + extra if extra_k is not None else 1),
+            dist_gbf=self.dist_gbf, gbf_time_mod=gbf_time,
+            cond_time=self.cond_time, equivariant=True, interpret=interpret,
+        )
+
+        posf = pos.astype(f32)
+        rowsum = jnp.sum(w, axis=2, keepdims=True)
+        pos = pos + posf * rowsum - jnp.einsum("bij,bjc->bic", w, posf)
+        return h_out, e_out, pos
+
     def _fused_edge_chain(self, y, n2e_bias, e_in, dist_feat, extra_adj,
                           edge_mask, h_out, pos, ffn_edge, equi, mods,
                           edge_time_emb, deterministic):
@@ -311,12 +536,20 @@ class DGTBlock(nn.Module):
         dt = self.dtype
 
         # probe calls: instantiate ff_edge / equi_update params on tiny
-        # slices (param shapes depend only on channel dims)
+        # slices (param shapes depend only on channel dims). The equi probe
+        # must not engage its own pallas kernel on degenerate 1x1 tiles
+        # (Mosaic may reject them), so probe with deterministic=False which
+        # routes to the XLA branch.
+        if self.extra_heads > 0:
+            assert extra_adj is not None, (
+                "fused edge chain requires extra_adj when extra_heads>0 "
+                "(inline path averages all gate heads; fused uses head 0 "
+                "plus extra_adj channels)")
         _ = ffn_edge(e_in[:, :1, :1, :], True)
         _ = equi(h_out[:, :1], pos[:, :1], e_in[:, :1, :1],
                  dist_feat[:, :1, :1], edge_mask[:, :1, :1], edge_time_emb,
                  extra_adj[:, :1, :1] if extra_adj is not None else None,
-                 True)
+                 False)
         ffp = ffn_edge.variables["params"]
         eqp = equi.variables["params"]
 
@@ -408,6 +641,7 @@ class DGT(nn.Module):
     use_pallas: bool = False  # fused edge-attention kernel
     use_pallas_equi: bool = False  # fused equi-update gate kernel (see BASELINE.md)
     use_pallas_edge_chain: bool = False  # fused post-attn edge+equi kernel
+    use_pallas_block: bool = False  # fully-fused pair chain (ops/pallas_dgt)
     remat_attn: bool = True  # recompute attention in bwd (see BASELINE.md r2)
 
     @nn.compact
@@ -488,11 +722,11 @@ class DGT(nn.Module):
             if self.dist_gbf:
                 gbf_feat = GBF_LAYERS[self.gbf_name](dist_dim, name="dist_layer")(
                     sq, edge_time_emb
-                )
+                ).astype(dt)
             else:
-                gbf_feat = sq
+                gbf_feat = sq.astype(dt)
             dist_feat = jnp.where(
-                all_zero, jnp.zeros((b, n, n, dist_dim), xh.dtype), gbf_feat
+                all_zero, jnp.zeros((b, n, n, dist_dim), dt), gbf_feat
             )
             extra_adj = jnp.concatenate([cond_adj_2d, cond_adj_spatial], axis=-1)
             edge_attr = jnp.concatenate([edge_x, cond_edge_x, dist_feat], axis=-1)
@@ -528,6 +762,7 @@ class DGT(nn.Module):
                 use_pallas=self.use_pallas,
                 use_pallas_equi=self.use_pallas_equi,
                 use_pallas_edge_chain=self.use_pallas_edge_chain,
+                use_pallas_block=self.use_pallas_block,
                 remat_attn=self.remat_attn,
                 name=f"e_block_{i}",
             )(
@@ -544,17 +779,22 @@ class DGT(nn.Module):
             if self.equivariant and self.com_each_layer:
                 pos = remove_mean_with_mask(pos, node_mask)
             atom_hids.append(nn.Dense(cat_node_dim, dtype=dt, name=f"node_{i}")(h))
-            edge_hids.append(nn.Dense(cat_edge_dim, dtype=dt, name=f"edge_{i}")(edge_attr))
+            # per-layer edge skip Dense: probe-instantiate only — the
+            # [B,N,N,16] skip tensors and the 192-channel concat are folded
+            # algebraically into the readout heads below (exact:
+            # Dense(concat(x_i)) == sum_i x_i @ V_i), removing ~9 pair-tensor
+            # materialisations per forward
+            eh = nn.Dense(cat_edge_dim, dtype=dt, name=f"edge_{i}")
+            _ = eh(edge_attr[:, :1, :1])
+            edge_hids.append((eh.variables["params"], edge_attr))
 
         atom_cat = jnp.concatenate(atom_hids, axis=-1)
-        edge_cat = jnp.concatenate(edge_hids, axis=-1)
 
         atom_pred = _readout_mlp(
             atom_cat, self.hidden_dim, self.in_node_dim, dt, name="node_pred_mlp"
         ).astype(jnp.float32) * node_mask[..., None]
-        edge_exist = _readout_mlp(edge_cat, edge_hidden, 1, dt, name="edge_exist_mlp")
-        edge_type = _readout_mlp(
-            edge_cat, edge_hidden, self.edge_ch - 1, dt, name="edge_type_mlp"
+        edge_exist, edge_type = self._folded_edge_readout(
+            edge_hids, edge_hidden, dt
         )
         edge_pred = jnp.concatenate([edge_exist, edge_type], axis=-1).astype(jnp.float32)
         edge_pred = edge_pred * edge_mask[..., None]
@@ -573,6 +813,58 @@ class DGT(nn.Module):
         pos = jnp.where(finite, pos, jnp.zeros_like(pos))
         pos = remove_mean_with_mask(pos, node_mask)
         return jnp.concatenate([pos, atom_pred], axis=2), edge_pred
+
+    def _folded_edge_readout(self, edge_hids, edge_hidden, dt):
+        """Skip-concat edge readout with the concat folded away.
+
+        The reference computes Dense_0(concat([e_embed] + [Dense_i(e_i)]))
+        for the edge-exist and edge-type heads (mol_gnn.py:459-479,571-574).
+        Algebraically Dense_0(concat(x_i)) = sum_i x_i @ V_i, and
+        (e_i @ W_i) @ V_i = e_i @ (W_i V_i), so the first readout layer of
+        BOTH heads collapses into one [64->128] matmul per layer stream —
+        no [B,N,N,16] skips, no [B,N,N,192] concat. Param tree unchanged.
+        edge_hids: [raw_embed_stream, (dense_params, stream), ...].
+        """
+        b = edge_hids[0].shape[0]
+        f32 = jnp.float32
+        cat_edge_dim = edge_hids[0].shape[-1] + sum(
+            p["kernel"].shape[1] for p, _ in edge_hids[1:]
+        )
+        probe = jnp.zeros((b, 1, 1, cat_edge_dim), dt)
+        d_exist = nn.Dense(edge_hidden, dtype=dt, name="edge_exist_mlp_0")
+        _ = d_exist(probe)
+        d_type = nn.Dense(edge_hidden, dtype=dt, name="edge_type_mlp_0")
+        _ = d_type(probe)
+        ve = d_exist.variables["params"]
+        vt = d_type.variables["params"]
+        v_both = jnp.concatenate(
+            [ve["kernel"].astype(f32), vt["kernel"].astype(f32)], axis=1
+        )  # [cat_edge_dim, 2*Eh]
+        bias = jnp.concatenate(
+            [ve["bias"].astype(f32), vt["bias"].astype(f32)]
+        )  # [2*Eh]
+
+        e0 = edge_hids[0]
+        width = e0.shape[-1]
+        acc = e0 @ v_both[:width].astype(dt)
+        off = width
+        for params, stream in edge_hids[1:]:
+            per = params["kernel"].shape[1]
+            m = params["kernel"].astype(f32) @ v_both[off:off + per]
+            bias = bias + params["bias"].astype(f32) @ v_both[off:off + per]
+            acc = acc + stream @ m.astype(dt)
+            off += per
+        acc = acc + bias.astype(dt)
+
+        def tail(x, out_dim, name):
+            y = nn.silu(x)
+            y = nn.Dense(edge_hidden // 2, dtype=dt, name=f"{name}_1")(y)
+            y = nn.silu(y)
+            return nn.Dense(out_dim, dtype=dt, name=f"{name}_2")(y)
+
+        eh = edge_hidden
+        return (tail(acc[..., :eh], 1, "edge_exist_mlp"),
+                tail(acc[..., eh:], self.edge_ch - 1, "edge_type_mlp"))
 
 
 def _readout_mlp(x, hidden, out_dim, dtype, name):

@@ -35,9 +35,15 @@ from .postprocess import mol_process, mol_process_2d, post_process, post_process
 __all__ = ["make_round_fn", "make_sampling_fn", "make_cond_sampling_eval_fn"]
 
 
-def make_round_fn(config, schedule, model, pad_n: int, eps: float = 1e-3) -> Callable:
+def make_round_fn(config, schedule, model, pad_n: int, eps: float = 1e-3,
+                  mesh=None) -> Callable:
     """Build round_fn(params, key, n_nodes [B], context?) -> decoded padded
-    tensors; jit-compiled once for the static (B, pad_n) shape."""
+    tensors; jit-compiled once for the static (B, pad_n) shape.
+
+    mesh: optional jax.sharding.Mesh — the round is sharded over its
+    'data' axis (params replicated, batch split; the reference's 2-GPU
+    GEOM sampling / DataParallel classifier equivalent, README.md:162-168).
+    """
     atom_types = config.data.atom_types
     include_fc = bool(config.model.include_fc_charge)
     node_nf = atom_types + int(include_fc)
@@ -99,7 +105,18 @@ def make_round_fn(config, schedule, model, pad_n: int, eps: float = 1e-3) -> Cal
         )
         return pos, one_hot, fc, edge_types, nm, em
 
-    return jax.jit(round_fn)
+    if mesh is None:
+        return jax.jit(round_fn)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    dat = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        round_fn,
+        in_shardings=(rep, rep, dat, dat),
+        out_shardings=dat,
+    )
 
 
 PAD_LADDER = (16, 24, 32, 48, 64, 96, 128, 160, 192)
@@ -114,7 +131,7 @@ def _bucket_pads(pad_n: int):
 def make_sampling_fn(
     config, schedule, model, nodes_dist, batch_size: int, n_samples: int,
     pad_n: int, prop_dist=None, bucketed: bool = True,
-    round_fn_cache: Optional[dict] = None,
+    round_fn_cache: Optional[dict] = None, mesh=None,
 ) -> Callable:
     """sampling_fn(params, seed) -> list of decoded molecule tuples.
 
@@ -129,9 +146,12 @@ def make_sampling_fn(
     # per-pad round functions across make_sampling_fn calls (serving)
     round_fns = round_fn_cache if round_fn_cache is not None else {}
 
+    n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+
     def get_round_fn(pad):
         if pad not in round_fns:
-            round_fns[pad] = make_round_fn(config, schedule, model, pad)
+            round_fns[pad] = make_round_fn(config, schedule, model, pad,
+                                           mesh=mesh)
         return round_fns[pad]
 
     def _batch_for_pad(pad: int) -> int:
@@ -143,9 +163,15 @@ def make_sampling_fn(
         ratio = pad_n / pad
         if ratio >= 2.0:
             mult = int(round(ratio ** 2 / 2))
+        elif pad <= 0.75 * pad_n:
+            # measured gain at QM9 pads 16/24 (BASELINE.md r2); near-max
+            # pads (e.g. GEOM 176 of 184) keep the base batch — doubling
+            # there would nearly double peak HBM for no measured win
+            mult = 2
         else:
-            mult = 2 if pad < pad_n else 1
-        return batch_size * max(1, min(8, mult))
+            mult = 1
+        b = batch_size * max(1, min(8, mult))
+        return max(n_shards, (b // n_shards) * n_shards)
 
     def _decode_round(out, n_nodes):
         if only_2d:
@@ -171,7 +197,7 @@ def make_sampling_fn(
                 b_round = _batch_for_pad(pad)
             else:
                 pad = pad_n
-                b_round = batch_size
+                b_round = max(n_shards, (batch_size // n_shards) * n_shards)
             n_nodes = n_nodes_all[start : start + b_round]
             start += len(n_nodes)
             if len(n_nodes) < b_round:  # static shapes: pad the tail round
@@ -204,7 +230,7 @@ def make_sampling_fn(
 
 def make_cond_sampling_eval_fn(
     config, schedule, model, nodes_dist, batch_size: int, n_samples: int,
-    pad_n: int, prop_dist, prop_norm, classifier_fns,
+    pad_n: int, prop_dist, prop_norm, classifier_fns, mesh=None,
 ) -> Callable:
     """Conditional generation + frozen-classifier property MAE
     (reference sampling.py:283-514).
@@ -218,7 +244,7 @@ def make_cond_sampling_eval_fn(
     mads = [prop_norm[p]["mad"] for p in properties]
     output_norm = {"mu": 1.0, "alpha": 1.0, "homo": 1000.0, "lumo": 1000.0,
                    "gap": 1000.0, "Cv": 1.0}
-    round_fn = make_round_fn(config, schedule, model, pad_n)
+    round_fn = make_round_fn(config, schedule, model, pad_n, mesh=mesh)
     num_rounds = int(np.ceil(n_samples / batch_size))
 
     def sampling_fn(params, seed: int = 0, progress_cb=None):

@@ -1,0 +1,93 @@
+"""Bucketed-training tests (train-side pad ladder, VERDICT r1 #2).
+
+The loss itself is padding-invariant (tests/test_invariances.py), so the
+contract here is: the bucketed loader partitions the data correctly,
+emits same-pad chunks of the right shapes with population-proportional
+bucket sampling, and the multi-step train dispatch runs at bucket pads
+end-to-end through run_train_loop.
+"""
+
+import numpy as np
+import pytest
+
+from jodo_tpu.configs import get_config
+from jodo_tpu.data import (
+    BucketedLoader,
+    get_dataset,
+    make_bucketed_loader,
+)
+
+
+def _cfg():
+    cfg = get_config("qm9_uncond_jodo")
+    cfg.data.allow_synthetic = True
+    cfg.model.nf = 32
+    cfg.model.n_layers = 2
+    cfg.model.n_heads = 4
+    cfg.model.n_extra_heads = 2
+    cfg.training.batch_size = 8
+    cfg.training.steps_per_dispatch = 4
+    cfg.training.bucket_pads = "16,24"
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def train_ds():
+    cfg = _cfg()
+    train, _val, _test, _info = get_dataset(cfg, synthetic_fallback=True)
+    return train
+
+
+def test_bucket_partition_and_shapes(train_ds):
+    cfg = _cfg()
+    loader = make_bucketed_loader(cfg, train_ds, [16, 24, 32], 8, seed=0)
+    sizes = np.asarray(train_ds.n_nodes)
+    assert sizes.max() <= 32
+    total = sum(len(loader.loaders[p].indices) for p in loader.pads)
+    assert total == len(train_ds)
+    for pad in loader.pads:
+        idx = loader.loaders[pad].indices
+        assert (sizes[idx] <= pad).all()
+    for _ in range(6):
+        pad, chunk = loader.next_chunk(4)
+        assert pad in loader.pads
+        assert chunk["atom_one_hot"].shape[:3] == (4, 8, pad)
+        assert chunk["edge_one_hot"].shape[2:4] == (pad, pad)
+        assert chunk["node_mask"].shape == (4, 8, pad)
+    pad, single = loader.next_chunk(1)
+    assert single["atom_one_hot"].shape[:2] == (8, pad)
+
+
+def test_bucket_sampling_proportional(train_ds):
+    cfg = _cfg()
+    loader = make_bucketed_loader(cfg, train_ds, [16, 24, 32], 8, seed=0)
+    draws = [loader.next_chunk(1)[0] for _ in range(300)]
+    freq = {p: draws.count(p) / len(draws) for p in loader.pads}
+    for p, wt in zip(loader.pads, loader.weights):
+        assert abs(freq[p] - wt) < 0.12
+
+
+def test_bucket_ladder_must_cover_max(train_ds):
+    cfg = _cfg()
+    with pytest.raises(ValueError):
+        make_bucketed_loader(cfg, train_ds, [8], 8, seed=0)
+
+
+def test_train_loop_bucketed_smoke(tmp_path):
+    """run_train_loop with bucket_pads on: runs chunks at bucket pads,
+    logs and checkpoints; loss finite."""
+    from jodo_tpu import run_lib
+
+    cfg = _cfg()
+    cfg.training.n_iters = 8
+    cfg.training.log_freq = 4
+    cfg.training.snapshot_freq = 8
+    cfg.training.snapshot_freq_for_preemption = 8
+    cfg.training.eval_freq = 0
+    cfg.training.snapshot_sampling = False
+    cfg.sampling.steps = 4
+
+    parts = run_lib.build_training(cfg, synthetic_fallback=True)
+    assert isinstance(parts["loader"], BucketedLoader)
+    state, metrics = run_lib.run_train_loop(cfg, str(tmp_path), parts=parts)
+    assert np.isfinite(metrics.get("loss", np.nan))

@@ -16,20 +16,22 @@ from jodo_tpu.models import create_model
 from jodo_tpu.ops import masks_from_counts
 
 
-def make_fake_state_dict(cfg, rng):
-    """Shapes mirror reference DGT_concat (mol_gnn.py:410-489)."""
+def make_fake_state_dict(cfg, rng, variant="joint"):
+    """Shapes mirror reference DGT_concat (mol_gnn.py:410-489), or with
+    variant="2d"/"sim" DGT_concat_2D (:797-946) / DGT_concat_sim
+    (:949-1124)."""
     m = cfg.model
     hidden = m.nf
     edge_hidden = hidden // 4
     heads = m.n_heads
-    extra = m.n_extra_heads
+    extra = 0 if variant == "sim" else m.n_extra_heads
     sub_heads = heads - extra
     out_ch = hidden // heads
     sub_ch = (heads * out_ch) // sub_heads
     time_dim = hidden * 4
     dist_dim = edge_hidden
     in_node = cfg.data.atom_types + 1
-    in_edge = m.edge_ch * 2 + dist_dim
+    in_edge = m.edge_ch * 2 + (0 if variant == "2d" else dist_dim)
     cat_node = (hidden * 2) // m.n_layers
     cat_edge = (edge_hidden * 2) // m.n_layers
 
@@ -50,11 +52,13 @@ def make_fake_state_dict(cfg, rng):
     sd["time_mlp.0.weights"] = rng.normal(size=(8,)).astype(np.float32)
     lin("time_mlp.1", time_dim, 17)
     lin("time_mlp.3", time_dim, time_dim)
-    gbf("dist_layer", dist_dim, time_dim)
+    if variant != "2d":
+        gbf("dist_layer", dist_dim, time_dim)
 
     for i in range(m.n_layers):
         b = f"e_block_{i}"
-        lin(f"{b}.edge_emb", edge_hidden, edge_hidden + dist_dim)
+        if variant != "2d":
+            lin(f"{b}.edge_emb", edge_hidden, edge_hidden + dist_dim)
         lin(f"{b}.node2edge_lin", edge_hidden, hidden)
         lin(f"{b}.attn_mpnn.lin_query", sub_heads * sub_ch, hidden)
         lin(f"{b}.attn_mpnn.lin_key", sub_heads * sub_ch, hidden)
@@ -67,13 +71,15 @@ def make_fake_state_dict(cfg, rng):
         lin(f"{b}.ff_linear4", edge_hidden, edge_hidden * m.mlp_ratio)
         lin(f"{b}.node_time_mlp.1", hidden * 6, time_dim)
         lin(f"{b}.edge_time_mlp.1", edge_hidden * 6, time_dim)
-        gbf(f"{b}.dist_layer", edge_hidden, time_dim)
-        eq = f"{b}.equi_update"
-        lin(f"{eq}.input_lin", hidden, hidden * 2 + edge_hidden + dist_dim)
-        lin(f"{eq}.time_mlp.1", hidden * 2, time_dim)
-        lin(f"{eq}.coord_mlp.0", hidden, hidden)
-        lin(f"{eq}.coord_mlp.2", 1 + extra, hidden, bias=False)
-        sd[f"{eq}.coord_norm.scale"] = np.asarray([1e-2], np.float32)
+        if variant != "2d":
+            gbf(f"{b}.dist_layer", edge_hidden, time_dim)
+            eq = f"{b}.equi_update"
+            lin(f"{eq}.input_lin", hidden,
+                hidden * 2 + edge_hidden + dist_dim)
+            lin(f"{eq}.time_mlp.1", hidden * 2, time_dim)
+            lin(f"{eq}.coord_mlp.0", hidden, hidden)
+            lin(f"{eq}.coord_mlp.2", 1 + extra, hidden, bias=False)
+            sd[f"{eq}.coord_norm.scale"] = np.asarray([1e-2], np.float32)
         lin(f"node_{i}", cat_node, hidden)
         lin(f"edge_{i}", cat_edge, edge_hidden)
 
