@@ -25,9 +25,19 @@ def pairwise_sq_dist(pos: jnp.ndarray) -> jnp.ndarray:
 
     The reference's `coord2dist` radial is the *squared* distance
     (models/utils.py:122-126); kept squared here for exact parity.
+
+    Computed as |p_i|^2 + |p_j|^2 - 2 p_i.p_j: the Gram matmul runs on
+    the MXU (HIGHEST precision = true f32) instead of materialising a
+    [B,N,N,3] difference tensor — profiling (r2 verdict round) showed the
+    elementwise form costs ~2.2 ms/step at QM9 sampling scale across the
+    8 per-layer recomputes. Clamped at 0 against cancellation.
     """
-    diff = pos[:, :, None, :] - pos[:, None, :, :]
-    return jnp.sum(diff * diff, axis=-1)
+    sq_norm = jnp.sum(pos * pos, axis=-1)  # [B,N]
+    gram = jnp.einsum(
+        "bic,bjc->bij", pos, pos, precision=jax.lax.Precision.HIGHEST
+    )
+    sq = sq_norm[:, :, None] + sq_norm[:, None, :] - 2.0 * gram
+    return jnp.maximum(sq, 0.0)
 
 
 def spatial_adjacency(sq_dist: jnp.ndarray, cutoff: float) -> jnp.ndarray:

@@ -8,10 +8,18 @@ The DGT attention needs, per pair (i,j):
 
 In the XLA formulation the two N^2-sized gate tensors ea/ev are
 materialised to HBM every layer (~hundreds of MB per forward). This kernel
-computes them tile-by-tile in VMEM: for each (batch, i-tile) grid cell it
-loads the edge tile once, runs both gate matmuls on the MXU, and finishes
-logits + masked softmax + the value reduction in-register — edge features
-are read from HBM exactly once and the gates never leave VMEM.
+computes them tile-by-tile in VMEM: for each (batch-block, i-tile) grid
+cell it loads the edge tile once, runs both gate matmuls on the MXU, and
+finishes logits + masked softmax + the value reduction in-register — edge
+features are read from HBM exactly once and the gates never leave VMEM.
+
+Batch blocking (r2 of the rebuild): molecules are small (N ≤ 32 on QM9),
+so a (batch, i-tile) grid runs ~2 us of work per cell and the fixed
+per-cell overhead dominates — profiling measured the kernel at ~10% of
+its MXU roofline at B=256/N=24 with grid (256, 1). Each grid cell now
+processes a block of BK molecules ([BK, TI, N, C] refs, rank-4 ops
+throughout; the gate matmuls contract the lane dim directly so no
+reshapes are needed), amortising the per-cell overhead ~BKx.
 
 Mosaic layout constraints shape the formulation: channels stay packed in
 the lane (last) dimension end-to-end; per-head reductions/expansions are
@@ -26,11 +34,11 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 NEG_MASK = -1e30
 NEG_EXTRA = -1e10
@@ -45,41 +53,39 @@ def _head_matrix(n_channels: int, n_heads: int, ch_per_head: int, dtype):
     return (c_ids // ch_per_head == h_ids).astype(dtype)
 
 
+def _mm4(x, w):
+    """[BK, TI, N, Cin] @ [Cin, Cout] -> [BK, TI, N, Cout] f32 (MXU)."""
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _attn_kernel(
     q_ref, k_ref, v_ref, e_ref, extra_ref, mask_ref, w0_ref, w1_ref, out_ref,
     *, sub_heads, sub_ch, heads, out_ch, extra_heads, softmax_inf, scale,
 ):
-    # block shapes (leading singleton = batch block):
-    #   q    [1, TI, SH*SC]   k [1, N, SH*SC]   v [1, N, H*C]
-    #   e    [1, TI, N, E]    extra [1, TI, N, XH]   mask [1, TI, N]
-    #   out  [1, TI, H*C]
-    ti = q_ref.shape[1]
-    n = k_ref.shape[1]
-    e_dim = e_ref.shape[-1]
+    # block shapes (leading dim = batch block of BK molecules):
+    #   q    [BK, TI, SH*SC]   k [BK, N, SH*SC]   v [BK, N, H*C]
+    #   e    [BK, TI, N, E]    extra [BK, TI, N, XH]   mask [BK, TI, N]
+    #   out  [BK, TI, H*C]
     f32 = jnp.float32
 
-    e_flat = e_ref[0].reshape(ti * n, e_dim)
-    ea = jnp.tanh(jnp.dot(e_flat, w0_ref[:], preferred_element_type=f32))
-    ev = jnp.tanh(jnp.dot(e_flat, w1_ref[:], preferred_element_type=f32))
-    ea = ea.reshape(ti, n, sub_heads * sub_ch)  # sublane split only
-    ev = ev.reshape(ti, n, heads * out_ch)
+    e4 = e_ref[...]  # [BK, TI, N, E]
+    ea = jnp.tanh(_mm4(e4, w0_ref[...]))  # [BK, TI, N, SH*SC] f32
+    ev = jnp.tanh(_mm4(e4, w1_ref[...]))  # [BK, TI, N, H*C] f32
 
-    q = q_ref[0].astype(f32)  # [TI, SH*SC]
-    k = k_ref[0].astype(f32)  # [N, SH*SC]
-    v = v_ref[0].astype(f32)  # [N, H*C]
+    q = q_ref[...].astype(f32)  # [BK, TI, SH*SC]
+    k = k_ref[...].astype(f32)  # [BK, N, SH*SC]
+    v = v_ref[...].astype(f32)  # [BK, N, H*C]
 
     # per-channel products then per-head sums via the selection matmul
-    p = q[:, None, :] * k[None, :, :] * ea  # [TI, N, SH*SC]
+    p = q[:, :, None, :] * k[:, None, :, :] * ea  # [BK, TI, N, SH*SC]
     s_sub = _head_matrix(sub_heads * sub_ch, sub_heads, sub_ch, f32)
-    logits_sub = (
-        jax.lax.dot_general(
-            p, s_sub, (((2,), (0,)), ((), ())), preferred_element_type=f32
-        )
-        * scale
-    )  # [TI, N, SH]
+    logits_sub = _mm4(p, s_sub) * scale  # [BK, TI, N, SH]
 
     if extra_heads > 0:
-        extra = extra_ref[0].astype(f32)  # [TI, N, XH]
+        extra = extra_ref[...].astype(f32)  # [BK, TI, N, XH]
         if softmax_inf:
             extra = jnp.where(extra == 0.0, NEG_EXTRA, extra)
         # place extra heads first, q/k heads after, via selection matmuls
@@ -89,33 +95,50 @@ def _attn_kernel(
         sub_pad = jnp.pad(
             jnp.eye(sub_heads, dtype=f32), ((0, 0), (extra_heads, 0))
         )  # [SH, H]
-        logits = (
-            jax.lax.dot_general(
-                extra, ex_pad, (((2,), (0,)), ((), ())), preferred_element_type=f32
-            )
-            + jax.lax.dot_general(
-                logits_sub, sub_pad, (((2,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
-        )  # [TI, N, H]
+        logits = _mm4(extra, ex_pad) + _mm4(logits_sub, sub_pad)
     else:
-        logits = logits_sub  # [TI, N, H]
+        logits = logits_sub  # [BK, TI, N, H]
 
-    mask = mask_ref[0][:, :, None]  # [TI, N, 1]
+    mask = mask_ref[...][:, :, :, None]  # [BK, TI, N, 1]
     logits = jnp.where(mask > 0, logits, NEG_MASK)
     # softmax over the neighbour (sublane) axis
-    logits = logits - jnp.max(logits, axis=1, keepdims=True)
+    logits = logits - jnp.max(logits, axis=2, keepdims=True)
     unnorm = jnp.exp(logits) * mask
-    denom = jnp.maximum(jnp.sum(unnorm, axis=1, keepdims=True), 1e-20)
-    alpha = unnorm / denom  # [TI, N, H]
+    denom = jnp.maximum(jnp.sum(unnorm, axis=2, keepdims=True), 1e-20)
+    alpha = unnorm / denom  # [BK, TI, N, H]
 
     # expand per-head alpha to channels, weight values, reduce neighbours
     e_full = _head_matrix(heads * out_ch, heads, out_ch, f32).T  # [H, H*C]
-    alpha_chan = jax.lax.dot_general(
-        alpha, e_full, (((2,), (0,)), ((), ())), preferred_element_type=f32
-    )  # [TI, N, H*C]
-    out = jnp.sum(alpha_chan * v[None, :, :] * ev, axis=1)  # [TI, H*C]
-    out_ref[0] = out.astype(out_ref.dtype)
+    alpha_chan = _mm4(alpha, e_full)  # [BK, TI, N, H*C]
+    out = jnp.sum(alpha_chan * v[:, None, :, :] * ev, axis=2)  # [BK,TI,H*C]
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _pick_blocks(b: int, n: int):
+    """(BK, TI): largest batch block and i-tile within the VMEM budget.
+
+    Per pair row the kernel keeps ~4.3 KB of f32 live (ea/ev/p/alpha_chan
+    + inputs); the budget caps BK*TI*N rows. The i-tile must divide n and
+    be a multiple of 8 (Mosaic sublane granularity); BK must divide b."""
+    budget = int(os.environ.get("JODO_ATTN_VMEM_MB", "6")) * 1024 * 1024
+    budget_rows = max(8, budget // 4400)
+    ti = None
+    for cand in range(8, n + 1, 8):
+        if n % cand == 0 and cand * n <= budget_rows:
+            ti = cand
+    if ti is None:
+        ti = n  # single tile; Mosaic pads the sublane dim
+    bk_env = os.environ.get("JODO_ATTN_BK", "auto")
+    if bk_env != "auto":
+        bk = max(1, int(bk_env))
+        while b % bk:
+            bk -= 1
+        return bk, ti
+    bk = 1
+    for cand in (2, 4, 8, 16):
+        if b % cand == 0 and cand * ti * n <= budget_rows:
+            bk = cand
+    return bk, ti
 
 
 @functools.partial(
@@ -134,21 +157,7 @@ def fused_edge_attention(
     extra_adj [B,N,N,XH] or None, edge_mask [B,N,N], w0 [E,SH*SC],
     w1 [E,H*C] -> out [B,N,H*C]."""
     b, n = q.shape[0], q.shape[1]
-    # adaptive i-tile: the kernel's VMEM working set is dominated by
-    # ~[tile_i, n, C_total] f32 buffers (ea/ev/qk/alpha_chan, C_total ~ 1k
-    # channels); keep it within a few MB of the 16MB VMEM
-    # ~1280 f32 channels across the live per-row buffers => n*5120 bytes/row;
-    # Mosaic additionally requires the sublane (i-tile) dim to be a multiple
-    # of 8 (or the full axis)
-    import os
-    budget_rows = max(8, (int(os.environ.get('JODO_ATTN_VMEM_MB', '4')) * 1024 * 1024) // (n * 5120))
-    best = None
-    for cand in range(8, n + 1, 8):
-        if n % cand == 0 and cand <= min(tile_i, budget_rows):
-            best = cand
-    if best is None:
-        best = n if n <= budget_rows or n % 8 != 0 else 8
-    tile_i = best
+    bk, tile_i = _pick_blocks(b, n)
     num_tiles = n // tile_i if n % tile_i == 0 else 1
     if n % tile_i != 0:
         tile_i = n
@@ -164,26 +173,28 @@ def fused_edge_attention(
         scale=1.0 / math.sqrt(out_ch),
     )
 
-    grid = (b, num_tiles)
+    grid = (b // bk, num_tiles)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tile_i, q.shape[-1]), lambda bi, it: (bi, it, 0)),
-            pl.BlockSpec((1, n, k.shape[-1]), lambda bi, it: (bi, 0, 0)),
-            pl.BlockSpec((1, n, v.shape[-1]), lambda bi, it: (bi, 0, 0)),
+            pl.BlockSpec((bk, tile_i, q.shape[-1]), lambda bi, it: (bi, it, 0)),
+            pl.BlockSpec((bk, n, k.shape[-1]), lambda bi, it: (bi, 0, 0)),
+            pl.BlockSpec((bk, n, v.shape[-1]), lambda bi, it: (bi, 0, 0)),
             pl.BlockSpec(
-                (1, tile_i, n, edge_attr.shape[-1]), lambda bi, it: (bi, it, 0, 0)
+                (bk, tile_i, n, edge_attr.shape[-1]),
+                lambda bi, it: (bi, it, 0, 0),
             ),
             pl.BlockSpec(
-                (1, tile_i, n, extra_adj.shape[-1]), lambda bi, it: (bi, it, 0, 0)
+                (bk, tile_i, n, extra_adj.shape[-1]),
+                lambda bi, it: (bi, it, 0, 0),
             ),
-            pl.BlockSpec((1, tile_i, n), lambda bi, it: (bi, it, 0)),
+            pl.BlockSpec((bk, tile_i, n), lambda bi, it: (bi, it, 0)),
             pl.BlockSpec((w0.shape[0], w0.shape[1]), lambda bi, it: (0, 0)),
             pl.BlockSpec((w1.shape[0], w1.shape[1]), lambda bi, it: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_i, heads * out_ch), lambda bi, it: (bi, it, 0)
+            (bk, tile_i, heads * out_ch), lambda bi, it: (bi, it, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, heads * out_ch), q.dtype),
         interpret=interpret,

@@ -116,42 +116,60 @@ def _ln(x, f32=jnp.float32):
 
 
 def _mm(x, w):
-    """[TI, N, Cin] @ [Cin, Cout] -> [TI, N, Cout] f32 (MXU).
+    """[..., Cin] @ [Cin, Cout] -> [..., Cout] f32 (MXU).
 
     Mosaic requires 32-bit matmul accumulators."""
     return jax.lax.dot_general(
-        x, w, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        x, w, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 
-def _gbf3(sq3, gbf_ss_ref, ga_ref, gb_ref, gc_ref, time_mod, dt):
-    """sq3 [TI,N,1] f32 -> (x3 [TI,N,1] f32, gb [TI,N,K-1] dt)."""
+def _gbf4(sq4, gbf_ss_ref, ga_ref, gb_ref, gc_ref, time_mod, dt):
+    """sq4 [BK,TI,N,1] f32 -> (x4 [BK,TI,N,1] f32, gb [BK,TI,N,K-1] dt)."""
     if time_mod:
-        ss = gbf_ss_ref[0][0:1, :]  # [1, 2] (row 0 of the [N,2] block)
-        x3 = sq3 * (ss[:, 0:1][None] + 1.0) + ss[:, 1:2][None]
+        # row 0 of the per-graph [BK, N, 2] block -> [BK, 1, 1, 2]
+        ss = gbf_ss_ref[:, 0:1, :][:, :, None, :]
+        x4 = sq4 * (ss[..., 0:1] + 1.0) + ss[..., 1:2]
     else:
-        x3 = sq3
-    p = ((x3 * x3) * ga_ref[0][None, None, :]
-         + x3 * gb_ref[0][None, None, :] + gc_ref[0][None, None, :])
+        x4 = sq4
+    p = ((x4 * x4) * ga_ref[0][None, None, None, :]
+         + x4 * gb_ref[0][None, None, None, :]
+         + gc_ref[0][None, None, None, :])
     gb = jnp.exp(p)
-    return x3, gb.astype(dt)  # dt for the MXU; x3 stays f32
+    return x4, gb.astype(dt)  # dt for the MXU; x4 stays f32
 
 
-def _bias3(ref):
-    return ref[0][None, None, :]
+def _bias4(ref):
+    return ref[0][None, None, None, :]
 
 
-def _pick_tile(n: int, bytes_per_row: int, default_mb: int = 6) -> int:
-    """Largest i-tile dividing n, multiple of 8, within the VMEM budget."""
+def _pick_blocks(b: int, n: int, bytes_per_row: int, default_mb: int = 6):
+    """(BK, TI): batch block and i-tile within the VMEM budget.
+
+    Batch blocking amortises the fixed per-grid-cell overhead that
+    dominates at molecule sizes (profiled ~10% of roofline with a
+    (batch, 1) grid at B=256/N=24, r2 verdict round). TI divides n and is
+    a multiple of 8 (Mosaic sublane granularity); BK divides b."""
     budget = int(os.environ.get("JODO_BLOCK_VMEM_MB", str(default_mb)))
-    budget_rows = max(8, (budget * 1024 * 1024) // max(1, n * bytes_per_row))
-    best = None
+    budget_rows = max(8, (budget * 1024 * 1024) // max(1, bytes_per_row))
+    ti = None
     for cand in range(8, n + 1, 8):
-        if n % cand == 0 and cand <= budget_rows:
-            best = cand
-    if best is None:
-        best = n
-    return best
+        if n % cand == 0 and cand * n <= budget_rows:
+            ti = cand
+    if ti is None:
+        ti = n
+    bk_env = os.environ.get("JODO_BLOCK_BK", "auto")
+    if bk_env != "auto":
+        bk = max(1, int(bk_env))
+        while b % bk:
+            bk -= 1
+        return bk, ti
+    bk = 1
+    for cand in (2, 4, 8, 16):
+        if b % cand == 0 and cand * ti * n <= budget_rows:
+            bk = cand
+    return bk, ti
 
 
 # ---------------------------------------------------------------------------
@@ -170,48 +188,48 @@ def _pre_attn_kernel(
     # rank-expanding broadcasts run in f32 (Mosaic rejects bf16 reshapes
     # at non-128-multiple lane widths); bf16 only feeds the MXU.
     f32 = jnp.float32
-    e3 = e_ref[0]  # [TI, N, E] dt
+    e4 = e_ref[...]  # [BK, TI, N, E] dt
 
     if equivariant:
-        sq3 = sq_ref[0][:, :, None]  # [TI, N, 1] f32
+        sq4 = sq_ref[...][:, :, :, None]  # [BK, TI, N, 1] f32
         if dist_gbf:
-            x3, gb = _gbf3(sq3, gbf_ss_ref, ga_ref, gb_ref, gc_ref,
+            x4, gb = _gbf4(sq4, gbf_ss_ref, ga_ref, gb_ref, gc_ref,
                            gbf_time_mod, dt)
             emb = (
-                x3 * _bias3(w_d0_ref)
+                x4 * _bias4(w_d0_ref)
                 + _mm(gb, w_dg_ref[:].astype(dt))
-                + _mm(e3, w_ee_ref[:].astype(dt))
-                + _bias3(b_ee_ref)
+                + _mm(e4, w_ee_ref[:].astype(dt))
+                + _bias4(b_ee_ref)
             )
         else:
             emb = (
-                sq3 * _bias3(w_d0_ref)
-                + _mm(e3, w_ee_ref[:].astype(dt))
-                + _bias3(b_ee_ref)
+                sq4 * _bias4(w_d0_ref)
+                + _mm(e4, w_ee_ref[:].astype(dt))
+                + _bias4(b_ee_ref)
             )
     else:
-        emb = e3
+        emb = e4
 
     e_att = _ln(emb)
     if cond_time:
         ed = e_mod_ref.shape[-1] // 2
-        m = e_mod_ref[0][0:1, :][None].astype(f32)  # [1, 1, 2Ed]
+        m = e_mod_ref[:, 0:1, :][:, :, None, :].astype(f32)  # [BK,1,1,2Ed]
         e_att = e_att * (1.0 + m[..., ed:]) + m[..., :ed]
     e_att = e_att.astype(dt)
 
-    ea = jnp.tanh(_mm(e_att, w0_ref[:].astype(dt)))  # [TI,N,SH*SC] f32
-    ev = jnp.tanh(_mm(e_att, w1_ref[:].astype(dt)))  # [TI,N,H*C] f32
+    ea = jnp.tanh(_mm(e_att, w0_ref[:].astype(dt)))  # [BK,TI,N,SH*SC] f32
+    ev = jnp.tanh(_mm(e_att, w1_ref[:].astype(dt)))  # [BK,TI,N,H*C] f32
 
-    q = q_ref[0].astype(f32)  # [TI, SH*SC]
-    k = k_ref[0].astype(f32)  # [N, SH*SC]
-    v = v_ref[0].astype(f32)  # [N, H*C]
+    q = q_ref[...].astype(f32)  # [BK, TI, SH*SC]
+    k = k_ref[...].astype(f32)  # [BK, N, SH*SC]
+    v = v_ref[...].astype(f32)  # [BK, N, H*C]
 
-    p = q[:, None, :] * k[None, :, :] * ea  # f32
+    p = q[:, :, None, :] * k[:, None, :, :] * ea  # f32
     s_sub = _head_matrix(sub_heads * sub_ch, sub_heads, sub_ch, f32)
-    logits_sub = _mm(p, s_sub) * scale  # [TI, N, SH] f32
+    logits_sub = _mm(p, s_sub) * scale  # [BK, TI, N, SH] f32
 
     if extra_heads > 0:
-        extra = extra_ref[0].astype(f32)  # [TI, N, XH]
+        extra = extra_ref[...].astype(f32)  # [BK, TI, N, XH]
         if softmax_inf:
             extra = jnp.where(extra == 0.0, NEG_EXTRA, extra)
         ex_sel = _head_matrix(extra_heads, extra_heads, 1, f32)
@@ -223,17 +241,17 @@ def _pre_attn_kernel(
     else:
         logits = logits_sub
 
-    mask = mask_ref[0][:, :, None]
+    mask = mask_ref[...][:, :, :, None]
     logits = jnp.where(mask > 0, logits, NEG_MASK)
-    logits = logits - jnp.max(logits, axis=1, keepdims=True)
+    logits = logits - jnp.max(logits, axis=2, keepdims=True)
     unnorm = jnp.exp(logits) * mask
-    denom = jnp.maximum(jnp.sum(unnorm, axis=1, keepdims=True), 1e-20)
-    alpha = unnorm / denom  # [TI, N, H] f32
+    denom = jnp.maximum(jnp.sum(unnorm, axis=2, keepdims=True), 1e-20)
+    alpha = unnorm / denom  # [BK, TI, N, H] f32
 
     e_full = _head_matrix(heads * out_ch, heads, out_ch, f32).T
-    alpha_chan = _mm(alpha, e_full)  # [TI, N, H*C] f32
-    out = jnp.sum(alpha_chan * v[None, :, :] * ev, axis=1)
-    out_ref[0] = out.astype(out_ref.dtype)
+    alpha_chan = _mm(alpha, e_full)  # [BK, TI, N, H*C] f32
+    out = jnp.sum(alpha_chan * v[:, None, :, :] * ev, axis=2)
+    out_ref[...] = out.astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -264,11 +282,11 @@ def fused_pre_attention(
 
     ga, gbq, gc = gbf_quadratic_rows(means, stds)
 
-    # live per-row working set ~ gates + p (dt) + logits/alpha (f32)
-    bytes_per_row = (3 * heads * out_ch + 2 * w_ee.shape[1]) * 2 \
+    # live per-row working set ~ gates + p + alpha_chan in f32
+    bytes_per_row = (3 * heads * out_ch + 2 * w_ee.shape[1]) * 4 \
         + 3 * heads * 4
-    tile_i = _pick_tile(n, bytes_per_row)
-    grid = (b, n // tile_i)
+    bk, tile_i = _pick_blocks(b, n, bytes_per_row)
+    grid = (b // bk, n // tile_i)
 
     kernel = functools.partial(
         _pre_attn_kernel,
@@ -283,28 +301,28 @@ def fused_pre_attention(
     # blocks are rejected by Mosaic) — kernels read row 0
     gbf_b = jnp.broadcast_to(gbf_ss[:, None, :], (b, n, 2))
     emod_b = jnp.broadcast_to(e_mod[:, None, :], (b, n, e_mod.shape[-1]))
-    vec = lambda a: pl.BlockSpec((1, n, a.shape[-1]), lambda bi, it: (bi, 0, 0))  # noqa: E731
+    vec = lambda a: pl.BlockSpec((bk, n, a.shape[-1]), lambda bi, it: (bi, 0, 0))  # noqa: E731
     mat = lambda w_: pl.BlockSpec(w_.shape, lambda bi, it: (0,) * w_.ndim)  # noqa: E731
 
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tile_i, n), lambda bi, it: (bi, it, 0)),
-            pl.BlockSpec((1, tile_i, n, e_in.shape[-1]),
+            pl.BlockSpec((bk, tile_i, n), lambda bi, it: (bi, it, 0)),
+            pl.BlockSpec((bk, tile_i, n, e_in.shape[-1]),
                          lambda bi, it: (bi, it, 0, 0)),
-            pl.BlockSpec((1, tile_i, n, extra_adj.shape[-1]),
+            pl.BlockSpec((bk, tile_i, n, extra_adj.shape[-1]),
                          lambda bi, it: (bi, it, 0, 0)),
-            pl.BlockSpec((1, tile_i, n), lambda bi, it: (bi, it, 0)),
-            pl.BlockSpec((1, tile_i, q.shape[-1]), lambda bi, it: (bi, it, 0)),
-            pl.BlockSpec((1, n, k.shape[-1]), lambda bi, it: (bi, 0, 0)),
-            pl.BlockSpec((1, n, v.shape[-1]), lambda bi, it: (bi, 0, 0)),
+            pl.BlockSpec((bk, tile_i, n), lambda bi, it: (bi, it, 0)),
+            pl.BlockSpec((bk, tile_i, q.shape[-1]), lambda bi, it: (bi, it, 0)),
+            pl.BlockSpec((bk, n, k.shape[-1]), lambda bi, it: (bi, 0, 0)),
+            pl.BlockSpec((bk, n, v.shape[-1]), lambda bi, it: (bi, 0, 0)),
             vec(gbf_b), vec(emod_b),
             mat(ga), mat(gbq), mat(gc), mat(w_d0), mat(w_dg), mat(w_ee),
             mat(b_ee), mat(w0), mat(w1),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_i, heads * out_ch), lambda bi, it: (bi, it, 0)
+            (bk, tile_i, heads * out_ch), lambda bi, it: (bi, it, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, heads * out_ch), dt),
         interpret=interpret,
@@ -329,20 +347,21 @@ def _edge_equi_kernel(
     e_out_ref, w_out_ref,
     *, n_gate_heads, dist_gbf, gbf_time_mod, cond_time, equivariant, dt,
 ):
+    bkd = sq_ref.shape[0]
     ti = sq_ref.shape[1]
     n = sq_ref.shape[2]
     ed = e_ref.shape[-1]
     f32 = jnp.float32
 
-    e_in = e_ref[0].astype(f32)  # [TI, N, Ed]
+    e_in = e_ref[...].astype(f32)  # [BK, TI, N, Ed]
 
     # node2edge broadcast add (f32 rank-expands; see kernel A note)
-    y_i = yi_ref[0].astype(f32)
-    y_all = yall_ref[0].astype(f32)
-    h_edge = y_i[:, None, :] + y_all[None, :, :] + _bias3(b_n2e_ref)
+    y_i = yi_ref[...].astype(f32)  # [BK, TI, Ed]
+    y_all = yall_ref[...].astype(f32)  # [BK, N, Ed]
+    h_edge = y_i[:, :, None, :] + y_all[:, None, :, :] + _bias4(b_n2e_ref)
 
     if cond_time:
-        m = e_mod_ref[0][0:1, :][None].astype(f32)  # [1, 1, 4Ed]
+        m = e_mod_ref[:, 0:1, :][:, :, None, :].astype(f32)  # [BK,1,1,4Ed]
         eg_msa = m[..., 0 * ed:1 * ed]
         es_mlp = m[..., 1 * ed:2 * ed]
         esc_mlp = m[..., 2 * ed:3 * ed]
@@ -353,51 +372,51 @@ def _edge_equi_kernel(
         e_mid = e_in + h_edge
         e_ln = _ln(e_mid)
 
-    f = _mm(e_ln.astype(dt), w_f0_ref[:].astype(dt)) + _bias3(b_f0_ref)
+    f = _mm(e_ln.astype(dt), w_f0_ref[:].astype(dt)) + _bias4(b_f0_ref)
     f = f * jax.lax.logistic(f)  # silu, f32
-    f = _mm(f.astype(dt), w_f1_ref[:].astype(dt)) + _bias3(b_f1_ref)
+    f = _mm(f.astype(dt), w_f1_ref[:].astype(dt)) + _bias4(b_f1_ref)
     # residual base is the POST-LN modulated stream (mol_gnn.py:307-317)
     if cond_time:
         e_out = e_ln + eg_mlp * f
     else:
         e_out = e_ln + f
     e_out_dt = e_out.astype(dt)
-    e_out_ref[0] = e_out_dt
+    e_out_ref[...] = e_out_dt
 
     if not equivariant:
-        w_out_ref[0] = jnp.zeros((ti, n), f32)
+        w_out_ref[...] = jnp.zeros((bkd, ti, n), f32)
         return
 
     # equivariant gate chain on the fresh edge stream
-    sq3 = sq_ref[0][:, :, None]
-    z_i = zi_ref[0].astype(f32)
-    z_all = zall_ref[0].astype(f32)
+    sq4 = sq_ref[...][:, :, :, None]  # [BK, TI, N, 1]
+    z_i = zi_ref[...].astype(f32)  # [BK, TI, Hd]
+    z_all = zall_ref[...].astype(f32)  # [BK, N, Hd]
     t = (_mm(e_out_dt, w_ed_ref[:].astype(dt))
-         + z_i[:, None, :] + z_all[None, :, :])
+         + z_i[:, :, None, :] + z_all[:, None, :, :])
     if dist_gbf:
-        x3, gb = _gbf3(sq3, gbf_ss_ref, ga_ref, gb_ref, gc_ref,
+        x4, gb = _gbf4(sq4, gbf_ss_ref, ga_ref, gb_ref, gc_ref,
                        gbf_time_mod, dt)
-        t = t + x3 * _bias3(w_d0_ref) + _mm(gb, w_dg_ref[:].astype(dt))
+        t = t + x4 * _bias4(w_d0_ref) + _mm(gb, w_dg_ref[:].astype(dt))
     else:
-        t = t + sq3 * _bias3(w_d0_ref)
+        t = t + sq4 * _bias4(w_d0_ref)
 
     hd = zi_ref.shape[-1]
-    eqm = eq_ss_ref[0][0:1, :][None].astype(f32)  # [1, 1, 2Hd]
+    eqm = eq_ss_ref[:, 0:1, :][:, :, None, :].astype(f32)  # [BK,1,1,2Hd]
     t = _ln(t) * (1.0 + eqm[..., hd:]) + eqm[..., :hd]
-    g = _mm(t.astype(dt), w_c0_ref[:].astype(dt)) + _bias3(b_c0_ref)
+    g = _mm(t.astype(dt), w_c0_ref[:].astype(dt)) + _bias4(b_c0_ref)
     g = g * jax.lax.logistic(g)  # silu, f32
-    inv = jnp.tanh(_mm(g.astype(dt), w_c1_ref[:].astype(dt)))  # [TI,N,NG]
+    inv = jnp.tanh(_mm(g.astype(dt), w_c1_ref[:].astype(dt)))  # [BK,TI,N,NG]
 
     if n_gate_heads > 1:
-        extra = extra_ref[0].astype(f32)  # [TI, N, NG-1]
+        extra = extra_ref[...].astype(f32)  # [BK, TI, N, NG-1]
         gate_sum = inv[..., 0] + jnp.sum(inv[..., 1:] * extra, axis=-1)
     else:
         gate_sum = inv[..., 0]
-    inv_mean = gate_sum / n_gate_heads  # [TI, N]
+    inv_mean = gate_sum / n_gate_heads  # [BK, TI, N]
 
-    mask = mask_ref[0].astype(f32)
-    r = jnp.sqrt(jnp.maximum(sq_ref[0], 1e-16))
-    w_out_ref[0] = inv_mean * mask * (cn_ref[0, 0] / r)
+    mask = mask_ref[...].astype(f32)
+    r = jnp.sqrt(jnp.maximum(sq_ref[...], 1e-16))
+    w_out_ref[...] = inv_mean * mask * (cn_ref[0, 0] / r)
 
 
 @functools.partial(
@@ -431,9 +450,9 @@ def fused_edge_equi(
 
     ga, gbq, gc = gbf_quadratic_rows(means, stds)
 
-    bytes_per_row = (3 * hd + 8 * ed) * 2
-    tile_i = _pick_tile(n, bytes_per_row)
-    grid = (b, n // tile_i)
+    bytes_per_row = (3 * hd + 8 * ed) * 4
+    bk, tile_i = _pick_blocks(b, n, bytes_per_row)
+    grid = (b // bk, n // tile_i)
 
     kernel = functools.partial(
         _edge_equi_kernel,
@@ -445,30 +464,30 @@ def fused_edge_equi(
     gbf_b = jnp.broadcast_to(gbf_ss[:, None, :], (b, n, 2))
     emod_b = jnp.broadcast_to(e_mod[:, None, :], (b, n, e_mod.shape[-1]))
     eqss_b = jnp.broadcast_to(eq_ss[:, None, :], (b, n, eq_ss.shape[-1]))
-    vec = lambda a: pl.BlockSpec((1, n, a.shape[-1]), lambda bi, it: (bi, 0, 0))  # noqa: E731
+    vec = lambda a: pl.BlockSpec((bk, n, a.shape[-1]), lambda bi, it: (bi, 0, 0))  # noqa: E731
     mat = lambda w_: pl.BlockSpec(w_.shape, lambda bi, it: (0,) * w_.ndim)  # noqa: E731
 
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tile_i, n), lambda bi, it: (bi, it, 0)),
-            pl.BlockSpec((1, tile_i, n, ed), lambda bi, it: (bi, it, 0, 0)),
-            pl.BlockSpec((1, tile_i, n, extra_adj.shape[-1]),
+            pl.BlockSpec((bk, tile_i, n), lambda bi, it: (bi, it, 0)),
+            pl.BlockSpec((bk, tile_i, n, ed), lambda bi, it: (bi, it, 0, 0)),
+            pl.BlockSpec((bk, tile_i, n, extra_adj.shape[-1]),
                          lambda bi, it: (bi, it, 0, 0)),
-            pl.BlockSpec((1, tile_i, n), lambda bi, it: (bi, it, 0)),
-            pl.BlockSpec((1, tile_i, ed), lambda bi, it: (bi, it, 0)),
-            pl.BlockSpec((1, n, ed), lambda bi, it: (bi, 0, 0)),
-            pl.BlockSpec((1, tile_i, hd), lambda bi, it: (bi, it, 0)),
-            pl.BlockSpec((1, n, hd), lambda bi, it: (bi, 0, 0)),
+            pl.BlockSpec((bk, tile_i, n), lambda bi, it: (bi, it, 0)),
+            pl.BlockSpec((bk, tile_i, ed), lambda bi, it: (bi, it, 0)),
+            pl.BlockSpec((bk, n, ed), lambda bi, it: (bi, 0, 0)),
+            pl.BlockSpec((bk, tile_i, hd), lambda bi, it: (bi, it, 0)),
+            pl.BlockSpec((bk, n, hd), lambda bi, it: (bi, 0, 0)),
             vec(gbf_b), vec(emod_b), vec(eqss_b),
             mat(b_n2e), mat(w_f0), mat(b_f0), mat(w_f1), mat(b_f1),
             mat(ga), mat(gbq), mat(gc), mat(w_ed), mat(w_d0), mat(w_dg),
             mat(w_c0), mat(b_c0), mat(w_c1), mat(cn_scale),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_i, n, ed), lambda bi, it: (bi, it, 0, 0)),
-            pl.BlockSpec((1, tile_i, n), lambda bi, it: (bi, it, 0)),
+            pl.BlockSpec((bk, tile_i, n, ed), lambda bi, it: (bi, it, 0, 0)),
+            pl.BlockSpec((bk, tile_i, n), lambda bi, it: (bi, it, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n, n, ed), dt),
