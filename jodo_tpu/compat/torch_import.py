@@ -22,7 +22,8 @@ from typing import Dict
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["convert_dgt_state_dict", "load_reference_checkpoint"]
+__all__ = ["convert_dgt_state_dict", "convert_cdgs_state_dict",
+           "load_reference_checkpoint"]
 
 
 def _np(t):
@@ -158,6 +159,88 @@ def convert_dgt_state_dict(sd: Dict, config) -> Dict:
     return {"params": p}
 
 
+def _conv1x1(sd, prefix):
+    """conv1x1 (reference models/cdgs.py:153-156) -> channel Dense."""
+    w = _np(sd[f"{prefix}.weight"])[:, :, 0, 0]  # [out, in, 1, 1]
+    return {
+        "kernel": jnp.asarray(w.T),
+        "bias": jnp.asarray(_np(sd[f"{prefix}.bias"])),
+    }
+
+
+def _gn(sd, prefix):
+    return {"GroupNorm_0": {
+        "scale": jnp.asarray(_np(sd[f"{prefix}.weight"])),
+        "bias": jnp.asarray(_np(sd[f"{prefix}.bias"])),
+    }}
+
+
+def convert_cdgs_state_dict(sd: Dict, config) -> Dict:
+    """Reference CDGS state_dict -> {'params': ...} for models.create_model.
+
+    The reference stores everything in one nn.ModuleList keyed
+    'all_modules.<idx>' in construction order (models/cdgs.py:223-279);
+    this walks the same order. ff_linear3's pair Dense is factored as a
+    bias-free kernel + explicit bias (applied after the broadcast add)."""
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    m = config.model
+    n_layers = int(m.n_layers)
+
+    p: Dict = {}
+    mi = 0
+    if bool(m.cond_time):
+        p["temb_0"] = _dense(sd, f"all_modules.{mi}"); mi += 1
+        p["temb_1"] = _dense(sd, f"all_modules.{mi}"); mi += 1
+    p["bond_cate_proj"] = _conv1x1(sd, f"all_modules.{mi}"); mi += 1
+    p["bond_exist_proj"] = _conv1x1(sd, f"all_modules.{mi}"); mi += 1
+    p["bond_spd_proj"] = _conv1x1(sd, f"all_modules.{mi}"); mi += 1
+    p["bond_in"] = _dense(sd, f"all_modules.{mi}"); mi += 1
+    p["atom_degree_proj"] = _dense(sd, f"all_modules.{mi}"); mi += 1
+    p["atom_cate_proj"] = _dense(sd, f"all_modules.{mi}"); mi += 1
+    p["atom_rwl_proj"] = _dense(sd, f"all_modules.{mi}"); mi += 1
+    p["atom_in"] = _dense(sd, f"all_modules.{mi}"); mi += 1
+
+    for i in range(n_layers):
+        b = f"all_modules.{mi}"; mi += 1
+        ff3 = _dense(sd, f"{b}.ff_linear3")
+        p[f"block_{i}"] = {
+            "t_node": _dense(sd, f"{b}.t_node"),
+            "t_edge": _dense(sd, f"{b}.t_edge"),
+            "local": {
+                "Dense_0": _dense(sd, f"{b}.local_model.nn.0"),
+                "Dense_1": _dense(sd, f"{b}.local_model.nn.2"),
+            },
+            "norm1_local": _gn(sd, f"{b}.norm1_local"),
+            "norm1_attn": _gn(sd, f"{b}.norm1_attn"),
+            "self_attn": {
+                "lin_query": _dense(sd, f"{b}.self_attn.lin_query"),
+                "lin_key": _dense(sd, f"{b}.self_attn.lin_key"),
+                "lin_value": _dense(sd, f"{b}.self_attn.lin_value"),
+                "lin_edge0_kernel": jnp.asarray(
+                    _np(sd[f"{b}.self_attn.lin_edge0.weight"]).T),
+                "lin_edge1_kernel": jnp.asarray(
+                    _np(sd[f"{b}.self_attn.lin_edge1.weight"]).T),
+            },
+            "ff1": _dense(sd, f"{b}.ff_linear1"),
+            "ff2": _dense(sd, f"{b}.ff_linear2"),
+            "ff3": {"kernel": ff3["kernel"]},
+            "ff3_bias": ff3["bias"],
+            "ff4": _dense(sd, f"{b}.ff_linear4"),
+            "norm2_node": _gn(sd, f"{b}.norm2_node"),
+            "norm2_edge": _gn(sd, f"{b}.norm2_edge"),
+        }
+        p[f"atom_skip_{i}"] = _dense(sd, f"all_modules.{mi}"); mi += 1
+        p[f"bond_skip_{i}"] = _dense(sd, f"all_modules.{mi}"); mi += 1
+
+    for name, conv in (("atom_out", False), ("bond_out", True),
+                       ("exist_out", True)):
+        for j in range(3):
+            fn = _conv1x1 if conv else _dense
+            p[f"{name}_{j}"] = fn(sd, f"all_modules.{mi}"); mi += 1
+
+    return {"params": p}
+
+
 def load_reference_checkpoint(path: str, config, which: str = "ema"):
     """Load a reference .pth training checkpoint ({optimizer, model, ema,
     step}, utils.py:23-30) and return (flax_params, step).
@@ -178,4 +261,9 @@ def load_reference_checkpoint(path: str, config, which: str = "ema"):
         sd = dict(zip(keys, shadow))
     else:
         sd = state["model"]
-    return convert_dgt_state_dict(sd, config), step
+    convert = (
+        convert_cdgs_state_dict
+        if str(config.model.name) == "CDGS"
+        else convert_dgt_state_dict
+    )
+    return convert(sd, config), step

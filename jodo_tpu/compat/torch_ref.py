@@ -324,3 +324,189 @@ def dense_dgt_forward(
     mean = (pos * nm).sum(1, keepdim=True) / nm.sum(1, keepdim=True)
     pos = (pos - mean) * nm
     return torch.cat([pos, atom_pred], dim=2), edge_pred
+
+
+def dense_cdgs_forward(
+    sd: Dict,
+    config,
+    t,
+    xh,
+    node_mask,
+    edge_mask,
+    edge_x,
+    collect: Optional[dict] = None,
+):
+    """Reference-semantics CDGS forward on dense tensors.
+
+    Mirrors /root/reference/models/cdgs.py:201-408 (module-list indexing
+    and all) with PyG replaced by dense masked ops:
+      * GINEConv over the discretised adjacency   cdgs.py:39-41,116-121
+        (out_i = gin_nn(x_i + sum_j adj_ji relu(x_j + e_ji)); adjacency
+        and edge stream are symmetric, so the dense form is exact)
+      * EdgeGateTransLayer full-graph attention   layers.py:194-270
+      * get_rw_feat RW landing + SPD one-hots     cdgs.py:159-183
+      * GroupNorm per-node ([B*N,C]) for node norms, spatial
+        ([B,C,N,N]) for the edge norm              cdgs.py:120,134,145,148
+      * conv1x1 heads as channel Denses            cdgs.py:153-156
+
+    sd: reference-format state_dict keyed 'all_modules.<idx>.*'. Returns
+    (atom_score, bond_score[B,N,N,E]); `collect` stores 'h_i'/'edge_i'.
+    Torch, CPU, test/verification only — not the TPU compute path.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    m = config.model
+    nf = int(m.nf)
+    n_layers = int(m.n_layers)
+    heads = int(m.n_heads)
+    out_ch = nf // heads
+    rw_depth = int(m.rw_depth)
+    groups = min(nf // 4, 32)
+
+    sd = {k.removeprefix("module."): torch.as_tensor(v) for k, v in sd.items()}
+
+    def lin(idx, x):
+        w = sd[f"all_modules.{idx}.weight"]
+        if w.ndim == 4:  # conv1x1 acting on [..., C] channels-last
+            w = w[:, :, 0, 0]
+        return x @ w.T + sd[f"all_modules.{idx}.bias"]
+
+    def blk_lin(bi, name, x, bias=True):
+        w = sd[f"all_modules.{bi}.{name}.weight"]
+        y = x @ w.T
+        return y + sd[f"all_modules.{bi}.{name}.bias"] if bias else y
+
+    def gn(bi, name, x, spatial=False):
+        w = sd[f"all_modules.{bi}.{name}.weight"]
+        b = sd[f"all_modules.{bi}.{name}.bias"]
+        if spatial:  # [B,N,N,C] -> torch layout [B,C,N,N]
+            y = F.group_norm(x.permute(0, 3, 1, 2), groups, w, b, eps=1e-6)
+            return y.permute(0, 2, 3, 1)
+        lead = x.shape[:-1]
+        y = F.group_norm(x.reshape(-1, x.shape[-1]), groups, w, b, eps=1e-6)
+        return y.reshape(*lead, x.shape[-1])
+
+    def timestep_embedding(ts, dim, max_positions=10000):
+        half = dim // 2
+        emb = math.log(max_positions) / (half - 1)
+        emb = torch.exp(torch.arange(half, dtype=torch.float32) * -emb)
+        emb = ts.float()[:, None] * emb[None, :]
+        emb = torch.cat([torch.sin(emb), torch.cos(emb)], dim=1)
+        if dim % 2 == 1:
+            emb = F.pad(emb, (0, 1))
+        return emb
+
+    b_sz, n = xh.shape[0], xh.shape[1]
+    nm = node_mask[..., None]
+    em = edge_mask[..., None]
+    edge_exist = edge_x[..., 0:1]
+    edge_cate = edge_x[..., 1:]
+
+    mi = 0
+    temb = timestep_embedding(t * 999, nf)
+    if bool(m.cond_time):
+        temb = lin(mi, temb); mi += 1
+        temb = lin(mi, F.silu(temb)); mi += 1
+    else:
+        temb = None
+
+    # discretise adjacency (cdgs.py:322-327)
+    adj = (edge_exist[..., 0] >= 0.0).float() * edge_mask
+
+    # RW landing + SPD one-hots (cdgs.py:159-183): powers AD^2..AD^{k+1}
+    deg = adj.sum(-1, keepdims=True)
+    ad = adj / (deg + 1e-8)
+    rw_list = [ad]
+    for _ in range(rw_depth):
+        rw_list.append(torch.bmm(rw_list[-1], ad))
+    rw_map = torch.stack(rw_list[1:], dim=1)  # [B, k, N, N]
+    rw_landing = torch.diagonal(rw_map, dim1=2, dim2=3).permute(0, 2, 1)
+    spd_ind = (rw_map <= 0).sum(dim=1)
+    spd_onehot = F.one_hot(spd_ind, num_classes=rw_depth + 1).float()
+
+    dense_cate = lin(mi, edge_cate) * em; mi += 1
+    dense_exist = lin(mi, edge_exist) * em; mi += 1
+    dense_spd = lin(mi, spd_onehot) * em; mi += 1
+    dense_edge = lin(mi, torch.cat([dense_cate, dense_exist, dense_spd], dim=-1)) * em; mi += 1
+
+    atom_degree = lin(mi, edge_x.sum(dim=2)); mi += 1
+    atom_cate = lin(mi, xh); mi += 1
+    x_rwl = lin(mi, rw_landing); mi += 1
+    h = lin(mi, torch.cat([atom_degree, atom_cate, x_rwl], dim=-1)); mi += 1
+
+    h_edge_stream = dense_edge
+    atom_hids, bond_hids = [], []
+    for i in range(n_layers):
+        bi = mi; mi += 1
+        h_in, e_in = h, h_edge_stream
+
+        t_act = F.silu(temb)
+        h_edge = (h_edge_stream + blk_lin(bi, "t_edge", t_act)[:, None, None, :]) * em
+        hh = (h + blk_lin(bi, "t_node", t_act)[:, None, :]) * nm
+
+        # GINE over discretised adjacency: out_i = nn(x_i + sum_j adj_ji
+        # relu(x_j + e_ji)) (PyG aggregates at the edge-index column)
+        msg = torch.relu(hh[:, :, None, :] + h_edge)  # [B, src, tgt, C]
+        agg = (msg * adj[..., None]).sum(dim=1)  # sum over sources
+        y = hh + agg  # (1+eps)*x with eps buffer = 0
+        y = torch.relu(blk_lin(bi, "local_model.nn.0", y))
+        h_local = blk_lin(bi, "local_model.nn.2", y) * nm
+        h_local = gn(bi, "norm1_local", h_in + h_local)
+
+        # EdgeGateTransLayer over the full off-diagonal mask
+        q = blk_lin(bi, "self_attn.lin_query", hh).view(b_sz, n, heads, out_ch)
+        k = blk_lin(bi, "self_attn.lin_key", hh).view(b_sz, n, heads, out_ch)
+        v = blk_lin(bi, "self_attn.lin_value", hh).view(b_sz, n, heads, out_ch)
+        ea = torch.tanh(blk_lin(bi, "self_attn.lin_edge0", h_edge, bias=False))
+        ea = ea.view(b_sz, n, n, heads, out_ch)
+        ev = torch.tanh(blk_lin(bi, "self_attn.lin_edge1", h_edge, bias=False))
+        ev = ev.view(b_sz, n, n, heads, out_ch)
+        # logits at target i over sources j; edge attr indexed [src, tgt]
+        # == [tgt, src] on the symmetric stream
+        logits = torch.einsum("bihc,bjhc,bijhc->bhij", q, k, ea) / math.sqrt(out_ch)
+        logits = logits.masked_fill(edge_mask[:, None] == 0, -1e30)
+        alpha = torch.softmax(logits, dim=-1)
+        alpha = alpha * edge_mask[:, None]  # empty rows (padded nodes) -> 0
+        h_attn = torch.einsum("bhij,bjhc,bijhc->bihc", alpha, v, ev)
+        h_attn = h_attn.reshape(b_sz, n, heads * out_ch)
+        h_attn = gn(bi, "norm1_attn", h_in + h_attn)
+
+        h = (h_local + h_attn) * nm
+
+        # edge update from the PRE-FFN node stream (cdgs.py:141)
+        pair = h[:, :, None, :] + h[:, None, :, :]
+        ye = torch.relu(blk_lin(bi, "ff_linear3", pair))
+        ye = blk_lin(bi, "ff_linear4", ye)
+        h_edge_stream = gn(bi, "norm2_edge", e_in + ye, spatial=True) * em
+
+        # node FFN
+        y = torch.relu(blk_lin(bi, "ff_linear1", h))
+        y = blk_lin(bi, "ff_linear2", y)
+        h = gn(bi, "norm2_node", h + y) * nm
+
+        if collect is not None:
+            collect[f"h_{i}"] = h.detach().clone()
+            collect[f"edge_{i}"] = h_edge_stream.detach().clone()
+
+        atom_hids.append(lin(mi, h)); mi += 1
+        bond_hids.append(lin(mi, h_edge_stream)); mi += 1
+
+    atom_hids = torch.cat(atom_hids, dim=-1)
+    bond_hids = torch.cat(bond_hids, dim=-1)
+
+    atom_score = F.silu(lin(mi, torch.cat([atom_cate, atom_hids], dim=-1))) * nm; mi += 1
+    atom_score = F.silu(lin(mi, atom_score)); mi += 1
+    atom_score = lin(mi, atom_score); mi += 1
+
+    bond_score = F.silu(lin(mi, torch.cat([dense_cate, bond_hids], dim=-1))) * em; mi += 1
+    bond_score = F.silu(lin(mi, bond_score)); mi += 1
+    bond_score = lin(mi, bond_score); mi += 1
+
+    exist_score = F.silu(lin(mi, torch.cat([dense_exist, bond_hids], dim=-1))) * em; mi += 1
+    exist_score = F.silu(lin(mi, exist_score)); mi += 1
+    exist_score = lin(mi, exist_score); mi += 1
+
+    score = torch.cat([exist_score, bond_score], dim=-1)
+    score = 0.5 * (score + score.transpose(1, 2))
+    return atom_score * nm, score * em

@@ -39,14 +39,29 @@ class DenseGINE(nn.Module):
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm matching nn.GroupNorm(min(dim//4,32), dim, eps=1e-6)."""
+    """GroupNorm matching nn.GroupNorm(min(dim//4,32), dim, eps=1e-6).
+
+    The reference applies node norms to a flattened [B*N, C] stream
+    (cdgs.py:120,134,145) — torch GroupNorm stats are then PER NODE over
+    the group channels only. The edge norm is applied to [B, C, N, N]
+    (cdgs.py:148), where torch reduces over (group channels, N, N) per
+    sample — that one is padding-sensitive by reference construction
+    (stats include padded pair slots; the reference pads per batch-max).
+    `pair=False` reproduces the per-row semantics by flattening leading
+    dims into the batch; `pair=True` matches the spatial reduction.
+    """
 
     dim: int
+    pair: bool = False
 
     @nn.compact
     def __call__(self, x):
         groups = min(self.dim // 4, 32)
-        return nn.GroupNorm(num_groups=groups, epsilon=1e-6)(x)
+        norm = nn.GroupNorm(num_groups=groups, epsilon=1e-6)
+        if self.pair:
+            return norm(x)
+        lead = x.shape[:-1]
+        return norm(x.reshape((-1, x.shape[-1]))).reshape(lead + x.shape[-1:])
 
 
 class HybridMPBlock(nn.Module):
@@ -88,19 +103,21 @@ class HybridMPBlock(nn.Module):
 
         h = sum(outs) * nm
 
-        # FFNs
-        y = nn.Dense(self.dim * 2, name="ff1")(h)
-        y = nn.Dropout(self.dropout)(nn.relu(y), deterministic=deterministic)
-        y = nn.Dropout(self.dropout)(nn.Dense(self.dim, name="ff2")(y), deterministic=deterministic)
-        h = GroupNorm32(self.dim, name="norm2_node")(h + y) * nm
-
-        # Dense(h_i + h_j): per-node matmul + broadcast add (same affine map)
+        # edge update is built from the PRE-FFN node stream (cdgs.py:141
+        # precedes the node FFN at :144). ff3(h_i + h_j) factored through
+        # the broadcast as a per-node matmul + add (same affine map).
         y3 = nn.Dense(self.dim * 2, use_bias=False, name="ff3")(h)
         ff3_bias = self.param("ff3_bias", nn.initializers.zeros, (self.dim * 2,))
         ye = y3[:, :, None, :] + y3[:, None, :, :] + ff3_bias
         ye = nn.Dropout(self.dropout)(nn.relu(ye), deterministic=deterministic)
         ye = nn.Dropout(self.dropout)(nn.Dense(self.dim, name="ff4")(ye), deterministic=deterministic)
-        h_edge_out = GroupNorm32(self.dim, name="norm2_edge")(e_in + ye) * edge_mask[..., None]
+        h_edge_out = GroupNorm32(self.dim, pair=True, name="norm2_edge")(e_in + ye) * edge_mask[..., None]
+
+        # node FFN
+        y = nn.Dense(self.dim * 2, name="ff1")(h)
+        y = nn.Dropout(self.dropout)(nn.relu(y), deterministic=deterministic)
+        y = nn.Dropout(self.dropout)(nn.Dense(self.dim, name="ff2")(y), deterministic=deterministic)
+        h = GroupNorm32(self.dim, name="norm2_node")(h + y) * nm
 
         return h, h_edge_out
 

@@ -155,3 +155,81 @@ def test_input_lin_split_equivalence():
         + d @ np.asarray(eq["input_lin_d_kernel"])
     )
     np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def make_fake_cdgs_state_dict(cfg, rng):
+    """Shapes mirror reference CDGS (models/cdgs.py:223-279): one flat
+    nn.ModuleList keyed all_modules.<idx> in construction order."""
+    m = cfg.model
+    nf = m.nf
+    bond_ch = m.edge_ch
+    atom_ch = cfg.data.atom_types
+    rw = m.rw_depth
+    bond_se = int(nf * 0.4)
+    bond_type = int(0.5 * (nf - bond_se))
+    atom_se = int(nf * 0.2)
+    atom_type = nf - 2 * atom_se
+    cat_dim = (nf * 2) // m.n_layers
+
+    sd = {}
+    idx = [0]
+
+    def lin(out_d, in_d, bias=True, conv=False, sub=None):
+        name = f"all_modules.{idx[0]}" + (f".{sub}" if sub else "")
+        if sub is None:
+            idx[0] += 1
+        shape = (out_d, in_d, 1, 1) if conv else (out_d, in_d)
+        sd[f"{name}.weight"] = rng.normal(size=shape).astype(np.float32) * 0.05
+        if bias:
+            sd[f"{name}.bias"] = rng.normal(size=(out_d,)).astype(np.float32) * 0.05
+
+    def gn(sub):
+        name = f"all_modules.{idx[0]}.{sub}"
+        sd[f"{name}.weight"] = rng.normal(size=(nf,)).astype(np.float32) * 0.1 + 1.0
+        sd[f"{name}.bias"] = rng.normal(size=(nf,)).astype(np.float32) * 0.05
+
+    if m.cond_time:
+        lin(nf * 2, nf)
+        lin(nf, nf * 2)
+    lin(bond_type, bond_ch - 1, conv=True)
+    lin(bond_type, 1, conv=True)
+    lin(bond_se, rw + 1, conv=True)
+    lin(nf, bond_se + 2 * bond_type)
+    lin(atom_se, bond_ch)
+    lin(atom_type, atom_ch)
+    lin(atom_se, rw)
+    lin(nf, atom_type + 2 * atom_se)
+
+    for _ in range(m.n_layers):
+        lin(nf, nf, sub="t_node")
+        lin(nf, nf, sub="t_edge")
+        sd[f"all_modules.{idx[0]}.local_model.eps"] = np.zeros((1,), np.float32)
+        lin(nf, nf, sub="local_model.nn.0")
+        lin(nf, nf, sub="local_model.nn.2")
+        lin(nf, nf, sub="self_attn.lin_key")
+        lin(nf, nf, sub="self_attn.lin_query")
+        lin(nf, nf, sub="self_attn.lin_value")
+        lin(nf, nf, bias=False, sub="self_attn.lin_edge0")
+        lin(nf, nf, bias=False, sub="self_attn.lin_edge1")
+        gn("norm1_local")
+        gn("norm1_attn")
+        lin(nf * 2, nf, sub="ff_linear1")
+        lin(nf, nf * 2, sub="ff_linear2")
+        gn("norm2_node")
+        lin(nf * 2, nf, sub="ff_linear3")
+        lin(nf, nf * 2, sub="ff_linear4")
+        gn("norm2_edge")
+        idx[0] += 1  # close the block module
+        lin(cat_dim, nf)
+        lin(cat_dim, nf)
+
+    lin(nf, cat_dim * m.n_layers + atom_type)
+    lin(nf // 2, nf)
+    lin(atom_ch, nf // 2)
+    lin(nf, cat_dim * m.n_layers + bond_type, conv=True)
+    lin(nf // 2, nf, conv=True)
+    lin(bond_ch - 1, nf // 2, conv=True)
+    lin(nf, cat_dim * m.n_layers + bond_type, conv=True)
+    lin(nf // 2, nf, conv=True)
+    lin(1, nf // 2, conv=True)
+    return sd

@@ -190,3 +190,67 @@ def test_dgt_variant_forward_parity(variant, ref_name, with_cond):
     np.testing.assert_allclose(np.asarray(pred), ref_pred.numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(edge_pred), ref_edge.numpy(),
                                atol=2e-4)
+
+
+def test_cdgs_forward_parity():
+    """CDGS parity (VERDICT r1 item 6): flax CDGS vs the torch oracle
+    (reference models/cdgs.py:201-408 semantics) on a converted
+    reference-shaped all_modules state_dict, layer-by-layer."""
+    from jodo_tpu.compat import convert_cdgs_state_dict
+    from jodo_tpu.compat.torch_ref import dense_cdgs_forward
+    from test_compat import make_fake_cdgs_state_dict
+
+    cfg = get_config("qm9_2d_cdgs")
+    cfg.model.nf = 32
+    cfg.model.n_layers = 3
+    cfg.model.n_heads = 4
+    cfg.model.dropout = 0.0
+    cfg.model.rw_depth = 4
+    cfg.tpu.compute_dtype = "float32"
+
+    rng = np.random.default_rng(23)
+    sd = make_fake_cdgs_state_dict(cfg, rng)
+    params = convert_cdgs_state_dict(sd, cfg)
+    model = create_model(cfg)
+
+    b, n = 3, 8
+    counts = np.array([5, 7, 8])
+    nm, em = masks_from_counts(jnp.asarray(counts), n)
+    nm_np, em_np = np.asarray(nm, np.float32), np.asarray(em, np.float32)
+    xh = rng.normal(size=(b, n, cfg.data.atom_types)).astype(np.float32)
+    xh = xh * nm_np[..., None]
+    ex = rng.normal(size=(b, n, n, cfg.model.edge_ch)).astype(np.float32)
+    ex = 0.5 * (ex + ex.transpose(0, 2, 1, 3)) * em_np[..., None]
+    t = np.linspace(0.2, 0.8, b).astype(np.float32)
+
+    # structure must match a fresh init exactly
+    ref_params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(t), jnp.asarray(xh), nm, em,
+        jnp.asarray(ex))
+    assert jax.tree.map(lambda x: x.shape, ref_params) == jax.tree.map(
+        lambda x: x.shape, params)
+
+    collect = {}
+    ref_atom, ref_edge = dense_cdgs_forward(
+        sd, cfg, torch.as_tensor(t), torch.as_tensor(xh),
+        torch.as_tensor(nm_np), torch.as_tensor(em_np), torch.as_tensor(ex),
+        collect=collect,
+    )
+
+    (atom, edge), state = model.apply(
+        params, jnp.asarray(t), jnp.asarray(xh), nm, em, jnp.asarray(ex),
+        capture_intermediates=lambda mdl, name: (mdl.name or "").startswith(
+            "block_"),
+        mutable=["intermediates"],
+    )
+    inter = state["intermediates"]
+    for i in range(cfg.model.n_layers):
+        h_i, e_i = inter[f"block_{i}"]["__call__"][0]
+        np.testing.assert_allclose(
+            np.asarray(h_i), collect[f"h_{i}"].numpy(), atol=2e-4,
+            err_msg=f"CDGS node stream diverges at layer {i}")
+        np.testing.assert_allclose(
+            np.asarray(e_i), collect[f"edge_{i}"].numpy(), atol=2e-4,
+            err_msg=f"CDGS edge stream diverges at layer {i}")
+    np.testing.assert_allclose(np.asarray(atom), ref_atom.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(edge), ref_edge.numpy(), atol=2e-4)
