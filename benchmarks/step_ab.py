@@ -57,7 +57,10 @@ def time_scan_forward(cfg, batch, pad_n, feat, edge_ch, iters=100):
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    feat, edge_ch = 9, 2
+    cfg_name = os.environ.get("JODO_AB_CONFIG", "qm9_uncond_jodo")
+    probe = get_config(cfg_name)
+    feat = 3 + int(probe.data.atom_types) + int(probe.model.include_fc_charge)
+    edge_ch = int(probe.model.edge_ch)
 
     shapes = [(16, 256), (24, 256), (32, 128)]
     if os.environ.get("JODO_AB_SHAPES"):
@@ -74,7 +77,7 @@ def main():
     for pad_n, batch in shapes:
         row = {}
         for name, flags in variants.items():
-            cfg = get_config("qm9_uncond_jodo")
+            cfg = get_config(cfg_name)
             cfg.model.dropout = 0.0
             cfg.tpu.compute_dtype = "bfloat16"
             for k, v in flags.items():

@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from ..ops.masks import remove_mean_with_mask
 from ..ops.features import pairwise_sq_dist
+from .layers import _pair_dense
 from .layers import (
     GBF_LAYERS,
     CoorsNorm,
@@ -104,22 +105,33 @@ class EquivariantCoordUpdate(nn.Module):
             y_e = edge_feat.astype(dt) @ w_e.astype(dt)
             y_d = dist_feat.astype(dt) @ w_d.astype(dt)
             inp = y_i[:, :, None, :] + y_j[:, None, :, :] + y_e + y_d
-            inv = layer_norm(inp)
-            inv = modulate(inv, shift, scale)
-            inv = inv @ w_c0.astype(dt) + b_c0.astype(dt)
-            inv = nn.silu(inv)
-            inv = inv @ w_c1.astype(dt)
-            # position update math stays f32 for geometric precision
-            inv = jnp.tanh(inv).astype(jnp.float32)
+            g = layer_norm(inp)
+            g = modulate(g, shift, scale)
+            g = g @ w_c0.astype(dt) + b_c0.astype(dt)
+            g = nn.silu(g)
+            # final gate-head matmul decomposed into per-head lane
+            # reductions: a [B,N,N,1+extra] output pads its 1-3 lanes to
+            # 128 on TPU (~40x HBM inflation; its producer+consumer
+            # fusions measured ~1.5 ms/step at QM9 sampling scale), while
+            # [B,N,N] reductions over g fuse cleanly. tanh/means in f32
+            # (position update math stays f32 for geometric precision).
+            n_gate = 1 + self.extra_heads
+            w_c1_f = w_c1.astype(dt)
 
-            if self.extra_heads > 0 and extra_adj is not None:
-                adjs = jnp.concatenate(
-                    [jnp.ones_like(inv[..., :1]), extra_adj.astype(jnp.float32)],
-                    axis=-1,
-                )
-                inv = jnp.mean(inv * adjs, axis=-1, keepdims=True)
-            else:
-                inv = jnp.mean(inv, axis=-1, keepdims=True)
+            def head(hh):
+                return jnp.tanh(jnp.einsum(
+                    "bijc,c->bij", g, w_c1_f[:, hh],
+                    preferred_element_type=jnp.float32,
+                ))
+
+            gate = head(0)
+            for hh in range(1, n_gate):
+                if extra_adj is not None:
+                    gate = gate + head(hh) * extra_adj[..., hh - 1].astype(
+                        jnp.float32)
+                else:  # all-heads mean (reference mol_gnn.py:84-94 with
+                    gate = gate + head(hh)  # ones adjacency)
+            inv = (gate / n_gate)[..., None]
 
         # trans_ij = (p_i - p_j)/max(r_ij, eps) * scale * inv_ij * mask_ij,
         # summed over j. Factored as p_i * rowsum(w) - w @ p with
@@ -202,8 +214,9 @@ class DGTBlock(nn.Module):
                 ).astype(self.dtype)
             else:
                 dist_feat = sq_dist
-            edge_attr = nn.Dense(self.edge_dim, dtype=self.dtype, name="edge_emb")(
-                jnp.concatenate([dist_feat.astype(self.dtype), edge_attr], axis=-1)
+            edge_attr = _pair_dense(
+                nn.Dense(self.edge_dim, dtype=self.dtype, name="edge_emb"),
+                jnp.concatenate([dist_feat.astype(self.dtype), edge_attr], axis=-1),
             )
 
         if self.cond_time:

@@ -35,6 +35,27 @@ from ..ops.attn_vjp import edge_attention
 NEG_MASK = -1e30  # non-edges (lower than the extra-head -1e10 sentinel)
 NEG_EXTRA = -1e10
 
+import os as _env
+
+
+def _flat_pair_dots() -> bool:
+    """JODO_FLAT_PAIR_DOTS=1: run pair-tensor ([B,N,N,C]) Denses as
+    flattened 2D dots. Rank-4 dots can make XLA pick batch-minor layouts
+    whose outputs then need {0,3,2,1}->{3,2,1,0} copies (~1 ms/step traced
+    at QM9 sampling scale) before the Pallas attention custom call; 2D
+    dots keep the default row-major layout. Numerics identical."""
+    return _env.environ.get("JODO_FLAT_PAIR_DOTS", "0") == "1"
+
+
+def _pair_dense(dense, x):
+    """Apply a Dense to a pair tensor, optionally via a flattened 2D dot
+    (same params / same values either way)."""
+    if x.ndim == 4 and _flat_pair_dots():
+        b, n1, n2, c = x.shape
+        y = dense(x.reshape(b * n1 * n2, c))
+        return y.reshape(b, n1, n2, y.shape[-1])
+    return dense(x)
+
 
 class LearnedSinusoidalEmb(nn.Module):
     """x [B] -> [B, dim+1]: (x, sin(2pi w x), cos(2pi w x))."""
@@ -263,11 +284,25 @@ class GatedFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic=True):
+        # pair tensors optionally flow through flattened 2D dots (layout
+        # control; see _flat_pair_dots). Only when dropout is inert so the
+        # rng/broadcast shape semantics are untouched.
+        flat = (
+            x.ndim == 4
+            and (deterministic or self.dropout == 0.0)
+            and _flat_pair_dots()
+        )
+        shape = x.shape
+        if flat:
+            x = x.reshape(-1, shape[-1])
         y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype)(x)
         y = nn.silu(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         y = nn.Dense(self.dim, dtype=self.dtype)(y)
-        return nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        if flat:
+            y = y.reshape(shape[:-1] + (self.dim,))
+        return y
 
 
 def modulate(x, shift, scale):

