@@ -45,8 +45,13 @@ def _measure(cfg_name, info, batch, steps, n_samples, feat, edge_ch, pad_n,
     cfg.model.dropout = 0.0
     cfg.tpu.compute_dtype = os.environ.get("JODO_BENCH_DTYPE", "bfloat16")
     cfg.tpu.use_pallas = os.environ.get("JODO_BENCH_PALLAS", "1") == "1"
+    # per-pad kernel auto-choice (XLA at small pads, fused kernel above);
+    # JODO_BENCH_AUTO=0 pins the flags above for A/B runs
+    cfg.tpu.pallas_auto = (
+        cfg.tpu.use_pallas and os.environ.get("JODO_BENCH_AUTO", "1") == "1"
+    )
     cfg.tpu.use_pallas_block = (
-        os.environ.get("JODO_BENCH_BLOCK", "1") == "1"
+        os.environ.get("JODO_BENCH_BLOCK", "0") == "1"
     )
     cfg.tpu.use_pallas_edge_chain = (
         os.environ.get("JODO_BENCH_EDGE_CHAIN", "0") == "1"

@@ -140,6 +140,11 @@ def base_config() -> ml_collections.ConfigDict:
     tpu.pad_nodes = 0  # 0 => round data.max_node up to a multiple of 8
     tpu.compute_dtype = "bfloat16"  # production default; f32 via --config.tpu.compute_dtype
     tpu.use_pallas = False  # fused edge-attention kernel (TPU; interpret on CPU)
+    # sampling-path auto choice: per round pad, pick the measured-fastest
+    # attention path (XLA at pads <= 16, fused Pallas kernel above; see
+    # BASELINE.md r4 per-bucket table). Overrides use_pallas/_block during
+    # generation only; training always takes the XLA autodiff path.
+    tpu.pallas_auto = True
     tpu.use_pallas_equi = False  # fused equi-gate kernel (currently slower; see BASELINE.md)
     tpu.use_pallas_edge_chain = False  # fused post-attention edge+equi chain kernel
     tpu.use_pallas_block = False  # fully-fused per-layer pair chain (ops/pallas_dgt)

@@ -31,11 +31,16 @@ def _flag(config, name) -> bool:
         return False
 
 
-def create_model(config):
+def create_model(config, pallas_overrides=None):
     """Instantiate the denoiser flax module described by `config.model`.
 
     Accepts both our short names and the reference's registry names so
     reference configs map 1:1.
+
+    pallas_overrides: optional dict overriding the tpu.use_pallas* flags
+    (e.g. {'use_pallas': True, 'use_pallas_block': False}) — used by the
+    sampling path to pick the measured-fastest kernel per round pad; the
+    parameter tree is identical across paths (tests/test_pallas_block.py).
     """
     m = config.model
     name = m.name
@@ -48,6 +53,14 @@ def create_model(config):
     }
     name = aliases.get(name, name)
 
+    pallas = dict(
+        use_pallas=_use_pallas(config),
+        use_pallas_equi=_flag(config, "use_pallas_equi"),
+        use_pallas_edge_chain=_flag(config, "use_pallas_edge_chain"),
+        use_pallas_block=_flag(config, "use_pallas_block"),
+    )
+    if pallas_overrides:
+        pallas.update(pallas_overrides)
     common = dict(
         in_node_dim=in_node_dim,
         edge_ch=m.edge_ch,
@@ -62,11 +75,8 @@ def create_model(config):
         edge_quan_th=m.edge_quan_th,
         time_dim=int(getattr(m, "time_dim", 0) or 0),
         compute_dtype=_compute_dtype(config),
-        use_pallas=_use_pallas(config),
-        use_pallas_equi=_flag(config, "use_pallas_equi"),
-        use_pallas_edge_chain=_flag(config, "use_pallas_edge_chain"),
-        use_pallas_block=_flag(config, "use_pallas_block"),
         remat_attn=bool(getattr(config.tpu, "remat_attn", True)),
+        **pallas,
     )
     if name == "DGT":
         return DGT(

@@ -99,12 +99,19 @@ def _head_matrix(n_channels: int, n_heads: int, ch_per_head: int, dtype):
 def _ln(x, f32=jnp.float32):
     """Affine-free LN over the lane dim, f32 stats, eps 1e-6.
 
-    Statistics via MXU ones-matmuls: Mosaic's VPU lane-tree reduction
-    costs ~0.19 ms per [131k,64]-row LN at QM9 scale; the two [d,8]
-    ones-matmuls (mean, mean-of-squares) cost ~0.05 ms (measured r2).
-    Variance by E[x^2]-E[x]^2 in f32, clamped against cancellation."""
+    Two stat modes (JODO_LN_MODE): 'mxu' computes mean / mean-of-squares
+    via [d,8] ones-matmuls (r2 measurement: ~0.05 ms vs ~0.19 ms for the
+    VPU lane-tree at [131k,64] rows — but the MXU pads the 8-lane output
+    to 128, so each stat matmul costs a full rows x d x 128 pass);
+    'vpu' uses jnp.mean lane reductions. Variance by E[x^2]-E[x]^2 in
+    f32, clamped against cancellation."""
     xf = x.astype(f32)
     d = x.shape[-1]
+    if os.environ.get("JODO_LN_MODE", "mxu") == "vpu":
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+        return (xf - mean) * jax.lax.rsqrt(var + 1e-6)
     ones = jnp.full((d, 8), 1.0 / d, f32)
     dims = (((x.ndim - 1,), (0,)), ((), ()))
     s1 = jax.lax.dot_general(xf, ones, dims, preferred_element_type=f32)

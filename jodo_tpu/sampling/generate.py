@@ -12,6 +12,7 @@ Replaces the reference's get_sampling_fn / get_cond_sampling_eval_fn
 
 from __future__ import annotations
 
+import os
 import random as pyrandom
 from typing import Callable, List, Optional
 
@@ -35,6 +36,34 @@ from .postprocess import mol_process, mol_process_2d, post_process, post_process
 __all__ = ["make_round_fn", "make_sampling_fn", "make_cond_sampling_eval_fn"]
 
 
+def _model_for_pad(config, model, pad_n: int):
+    """Per-pad kernel choice for the sampling forward (tpu.pallas_auto).
+
+    Measured per-bucket optima on one v5e chip (BASELINE.md r4 table):
+    plain XLA wins at pads <= 16 (4.9 vs 5.6 ms @ B=256), the fused
+    Pallas attention kernel wins above (11.9 vs 17.5 ms @ pad 24); the
+    fully-fused block kernels lose everywhere and stay off. The param
+    tree is identical across paths, so the swap is checkpoint-invariant.
+    """
+    from ..models import DGT, create_model
+
+    if not bool(getattr(config.tpu, "pallas_auto", False)):
+        return model
+    if not isinstance(model, DGT):
+        return model
+    if jax.default_backend() != "tpu":
+        return model  # interpret-mode Pallas is orders slower on CPU
+    want = dict(
+        use_pallas=pad_n > 16,
+        use_pallas_block=False,
+        use_pallas_edge_chain=False,
+        use_pallas_equi=False,
+    )
+    if all(getattr(model, k) == v for k, v in want.items()):
+        return model
+    return create_model(config, pallas_overrides=want)
+
+
 def make_round_fn(config, schedule, model, pad_n: int, eps: float = 1e-3,
                   mesh=None) -> Callable:
     """Build round_fn(params, key, n_nodes [B], context?) -> decoded padded
@@ -56,6 +85,8 @@ def make_round_fn(config, schedule, model, pad_n: int, eps: float = 1e-3,
     method = config.sampling.method
     scaler = DataScaler.from_config(config)
     cond_process_fn = make_self_cond_clamp(config)
+
+    model = _model_for_pad(config, model, pad_n)
 
     if method == "ancestral":
         coeffs = AncestralCoeffs.create(schedule, steps, pred_data, eps)
@@ -159,7 +190,19 @@ def make_sampling_fn(
         batch, so scale the round size with the pad ratio. Measured optima
         on v5e (BASELINE.md r2): QM9 pad16 -> 2x, pad24 -> 2x, pad32 -> 1x
         — every sub-max pad gains from at least doubling even when the
-        quadratic ratio rounds to 1x."""
+        quadratic ratio rounds to 1x.
+
+        JODO_PAD_BATCH_OVERRIDE="16:512,24:256" pins specific pads for
+        bench sweeps."""
+        override = os.environ.get("JODO_PAD_BATCH_OVERRIDE")
+        if override:
+            table = dict(
+                tuple(int(x) for x in kv.split(":"))
+                for kv in override.split(",")
+            )
+            if pad in table:
+                b = table[pad]
+                return max(n_shards, (b // n_shards) * n_shards)
         ratio = pad_n / pad
         if ratio >= 2.0:
             mult = int(round(ratio ** 2 / 2))
