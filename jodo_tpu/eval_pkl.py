@@ -88,27 +88,30 @@ def main(argv=None):
 
     # train/test molecules for novelty / MOSES / geometry targets, when the
     # dataset is present on disk (otherwise those metrics degrade gracefully)
-    train_mols = test_tuples = None
+    train_mols = test_tuples = test_rdmols = None
     try:
         from .configs import get_config
         from .data import get_dataset
-        from .run_lib import _dataset_tuples
+        from .run_lib import _dataset_tuples, _rdmols_or_none
 
         cfg = get_config("qm9_uncond_jodo" if args.dataset_name == "qm9"
                          else "geom_uncond_jodo")
         cfg.data.root = root
         train_ds, _, test_ds, _ = get_dataset(cfg, synthetic_fallback=False)
+        train_mols = _dataset_tuples(train_ds)
         test_tuples = _dataset_tuples(test_ds)
+        test_rdmols = _rdmols_or_none(test_ds)
     except Exception:
         pass
 
     samples = load_samples(args.pkl_path, info, only_2d=(args.type == "2D"))
     print(f"Loaded {len(samples)} molecules from {args.pkl_path}")
+    results = {}
 
     from .evaluation.moses_metric import HAS_MOSES, HAS_RDKIT
 
     if HAS_RDKIT and HAS_MOSES:
-        moses_metric = get_moses_metrics([] if test_tuples is None else [])
+        moses_metric = get_moses_metrics(test_rdmols or [])
         moses_on_tuples = False
     else:
         # first-party fallback (evaluation/graph_metrics.py): full MOSES
@@ -128,12 +131,14 @@ def main(argv=None):
                   rd["Validity"], rd["Complete"]))
         mose_res = moses_metric(samples if moses_on_tuples else rdmols)
         print("Metric-3D || MOSES block:", mose_res)
+        results["3D"] = {**stab, **rd, **mose_res}
         if args.sub_geometry and test_tuples is not None:
             geo = get_sub_geometry_metric(test_tuples, info, root)(samples)
             print("Metric-Align || Bond Length MMD: %.4f, Bond Angle MMD: %.4f,"
                   " Dihedral Angle MMD: %.6f" % (
                       geo["bond_length_mean"], geo["bond_angle_mean"],
                       geo["dihedral_angle_mean"]))
+            results["3D"].update(geo)
 
     if args.type in ("2D", "both"):
         metric2d = get_2d_edm_metric(info, train_mols)
@@ -144,6 +149,8 @@ def main(argv=None):
                   rd["Complete"], rd["Unique"], rd["Novelty"]))
         mose_res = moses_metric(samples if moses_on_tuples else rdmols)
         print("Metric-2D || MOSES block:", mose_res)
+        results["2D"] = {**stab, **rd, **mose_res}
+    return results
 
 
 if __name__ == "__main__":

@@ -55,17 +55,40 @@ def test_resume_from_meta(trained):
     assert int(state2.step) == 13
 
 
-def test_evaluate_pipeline(trained):
+@pytest.fixture(scope="module")
+def evaluated(trained):
     cfg, tmp, state, _ = trained
     cfg.eval.batch_size = 8
     cfg.eval.num_samples = 8
     cfg.eval.ckpts = "1"
     cfg.eval.sub_geometry = True
     cfg.eval.save_graph = True
-    results = run_lib.evaluate(cfg, str(tmp))
-    res = results[1]
+    return run_lib.evaluate(cfg, str(tmp))
+
+
+def test_evaluate_pipeline(trained, evaluated):
+    cfg, tmp, state, _ = trained
+    res = evaluated[1]
     assert 0.0 <= res["3D_mol_stable"] <= 1.0
     assert 0.0 <= res["2D_atom_stable"] <= 1.0
     assert res["mols_per_sec"] > 0
     assert "bond_length_mean" in res
     assert (tmp / "eval" / "ancestral_ckpt_1_42.pkl").exists()
+
+
+def test_eval_pkl_rescore_agreement(trained, evaluated):
+    """The saved pickle re-scored through the standalone eval_pkl CLI must
+    reproduce evaluate()'s stability/validity numbers — the reference's
+    cross-method oracle loop (eval_rdkit_pkl.py:45-150 -> run_lib.py
+    save_graph pickles)."""
+    from jodo_tpu import eval_pkl
+
+    cfg, tmp, _, _ = trained
+    res = evaluated[1]
+    pkl = str(tmp / "eval" / "ancestral_ckpt_1_42.pkl")
+    rescored = eval_pkl.main(["--pkl_path", pkl, "--type", "both"])
+    for key in ("atom_stable", "mol_stable"):
+        assert rescored["3D"][key] == pytest.approx(res[f"3D_{key}"])
+        assert rescored["2D"][key] == pytest.approx(res[f"2D_{key}"])
+    assert rescored["3D"]["Validity"] == pytest.approx(res["3D_Validity"])
+    assert rescored["2D"]["Validity"] == pytest.approx(res["2D_Validity"])
