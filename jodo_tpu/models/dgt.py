@@ -102,9 +102,14 @@ class EquivariantCoordUpdate(nn.Module):
                 extra_heads=self.extra_heads, interpret=interpret,
             )[..., None]
         else:
-            y_e = edge_feat.astype(dt) @ w_e.astype(dt)
-            y_d = dist_feat.astype(dt) @ w_d.astype(dt)
-            inp = y_i[:, :, None, :] + y_j[:, None, :, :] + y_e + y_d
+            # one [2E -> hd] pair matmul instead of two [E -> hd]: same
+            # affine map (params stay separate for the fused kernels /
+            # converters), one hd-wide pair-tensor write instead of two
+            # plus an add
+            y_ed = jnp.concatenate(
+                [edge_feat.astype(dt), dist_feat.astype(dt)], axis=-1
+            ) @ jnp.concatenate([w_e.astype(dt), w_d.astype(dt)], axis=0)
+            inp = y_i[:, :, None, :] + y_j[:, None, :, :] + y_ed
             g = layer_norm(inp)
             g = modulate(g, shift, scale)
             g = g @ w_c0.astype(dt) + b_c0.astype(dt)
