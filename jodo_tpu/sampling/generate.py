@@ -143,11 +143,19 @@ def make_round_fn(config, schedule, model, pad_n: int, eps: float = 1e-3,
 
     rep = NamedSharding(mesh, P())
     dat = NamedSharding(mesh, P("data"))
-    return jax.jit(
+    jitted = jax.jit(
         round_fn,
         in_shardings=(rep, rep, dat, dat),
         out_shardings=dat,
     )
+
+    # always pass context positionally: in_shardings must be a prefix of
+    # the actual call arguments, and unconditional callers invoke with
+    # three args (context=None is an empty pytree, so `dat` is inert)
+    def sharded_round_fn(params, key, n_nodes, context=None):
+        return jitted(params, key, n_nodes, context)
+
+    return sharded_round_fn
 
 
 PAD_LADDER = (16, 24, 32, 48, 64, 96, 128, 160, 192)

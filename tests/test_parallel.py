@@ -80,3 +80,32 @@ def test_sampling_round_under_mesh():
     params = replicate_state(state.params, mesh)
     out = round_fn(params, jax.random.PRNGKey(0), n_nodes)
     assert np.isfinite(np.asarray(out[0])).all()
+
+
+def test_sampling_round_shards_batch_across_mesh():
+    """With an explicit mesh, the round's outputs are batch-sharded across
+    every device (each device computes 1/8 of the chains — the work
+    division behind multi-chip sampling throughput scaling; reference
+    README.md:162-168 2-GPU GEOM sampling)."""
+    from jodo_tpu.sampling import make_round_fn
+
+    cfg = tiny_cfg()
+    cfg.sampling.steps = 2
+    parts = run_lib.build_training(cfg)
+    state = run_lib.init_state(cfg, parts)
+    mesh = make_mesh("")
+    round_fn = make_round_fn(
+        cfg, parts["schedule"], parts["model"], parts["pad_n"], mesh=mesh
+    )
+    batch = 16
+    n_nodes = shard_batch({"n": jnp.full((batch,), 10, jnp.int32)}, mesh)["n"]
+    params = replicate_state(state.params, mesh)
+    out = round_fn(params, jax.random.PRNGKey(0), n_nodes)
+    pos = out[0]
+    assert np.isfinite(np.asarray(pos)).all()
+    shards = pos.addressable_shards
+    assert len(shards) == 8
+    devices = {s.device for s in shards}
+    assert len(devices) == 8  # one shard per device, not replicas
+    for s in shards:
+        assert s.data.shape[0] == batch // 8  # batch axis divided
