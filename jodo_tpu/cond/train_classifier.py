@@ -49,7 +49,18 @@ def build_classifier_training(config, prop: str, lr: float = 1e-4,
         property_values=values.reshape(-1, 1), seed=config.seed,
     )
     model = EGNNRegressor(in_node_nf=config.data.atom_types)
-    tx = optax.adamw(lr, weight_decay=1e-16)
+    # short auto-train budgets need a stable recipe: global-norm clipping
+    # plus linear warmup into cosine decay (the reference instead ships
+    # classifiers pretrained for ~1000 epochs, cond_gen/model.py:15-23)
+    steps = int(config.eval.get("classifier_train_steps", 2000) or 2000)
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=lr, warmup_steps=max(10, steps // 20),
+        decay_steps=steps, end_value=lr * 0.1,
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(sched, weight_decay=1e-16),
+    )
     return model, tx, loader, prop_norm, pad_n, (valid, test, info)
 
 
