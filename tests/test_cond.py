@@ -65,6 +65,40 @@ def test_classifier_training_step_decreases_loss():
     assert losses[-1] < losses[0]
 
 
+def test_conditional_multi_train_and_eval(tmp_path):
+    """Two-property pipeline (vpsde_edge_cond_multi): train a few steps,
+    then evaluate with per-property auto-trained classifiers — both MAEs
+    must come back finite (reference run_lib.py:771-902, sampling.py:394-514)."""
+    cfg = get_config("qm9_cond_multi_jodo")
+    cfg.data.allow_synthetic = True
+    cfg.model.nf = 32
+    cfg.model.n_layers = 2
+    cfg.model.n_heads = 4
+    cfg.model.dropout = 0.0
+    cfg.data.max_node = 12
+    cfg.tpu.pad_nodes = 16
+    cfg.training.batch_size = 8
+    cfg.optim.warmup = 5
+    cfg.sampling.steps = 3
+    cfg.training.eval_samples = 0
+    cfg.training.snapshot_freq = 4
+    cfg.training.snapshot_freq_for_preemption = 4
+    state, metrics = run_lib.run_train_loop(
+        cfg, str(tmp_path), num_steps=4, sample_at_snapshot=False
+    )
+    assert np.isfinite(metrics["loss"])
+    cfg.eval.batch_size = 8
+    cfg.eval.num_samples = 8
+    cfg.eval.ckpts = "1"
+    cfg.eval.sub_geometry = False
+    cfg.eval.classifier_train_steps = 60
+    results = run_lib.evaluate(cfg, str(tmp_path))
+    res = results[1]
+    assert "property_mae_0" in res and np.isfinite(res["property_mae_0"])
+    assert "property_mae_1" in res and np.isfinite(res["property_mae_1"])
+    assert res["property_mae_classifiers"] == "auto_trained,auto_trained"
+
+
 def test_conditional_train_and_eval(tmp_path):
     cfg = _tiny_cond_cfg()
     cfg.training.eval_samples = 8
