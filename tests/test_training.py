@@ -70,6 +70,42 @@ def test_train_step_reduces_loss():
     assert np.isfinite(losses).all()
 
 
+def test_node_loss_fn_both_prediction_modes():
+    """Node-only loss (pred_edge=False; reference get_sde_node_loss_fn,
+    losses.py:128-207): finite value and gradient in both the data-pred
+    (Kabsch-aligned target, sqrt(a/s) scaling) and noise-pred
+    (aligned-noise target) branches, with the self-cond teacher active."""
+    from jodo_tpu.losses import make_node_loss_fn
+
+    cfg = tiny_cfg()
+    cfg.pred_edge = False
+    schedule = NoiseSchedule.create(cfg.sde.schedule)
+    batch = make_batch(jax.random.PRNGKey(0))
+
+    def make_stub(scale):
+        def apply_fn(t, z, nm, em, ex, nl, cond_x=None, cond_edge_x=None,
+                     cond_flag=0.0, context=None, dropout_key=None):
+            assert ex is None and cond_edge_x is None  # node-only contract
+            out = scale * z
+            if cond_x is not None:
+                out = out + 0.01 * cond_flag * cond_x
+            return out * nm[..., None]
+        return apply_fn
+
+    for pred_data in (True, False):
+        cfg.model.pred_data = pred_data
+        loss_fn = make_node_loss_fn(schedule, cfg)
+
+        def objective(s, key):
+            return loss_fn(make_stub(s), key, batch)
+
+        for seed in (0, 1, 2):  # hit both self-cond bernoulli branches
+            key = jax.random.PRNGKey(seed)
+            val, grad = jax.value_and_grad(objective)(0.9, key)
+            assert np.isfinite(float(val)), (pred_data, seed)
+            assert np.isfinite(float(grad)), (pred_data, seed)
+
+
 def test_ema_update_warmup_decay():
     ema = {"w": jnp.ones((3,))}
     p = {"w": jnp.zeros((3,))}
