@@ -17,3 +17,34 @@ Layer map mirrors the reference (see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (repo-local, override with
+    JODO_COMPILE_CACHE; JODO_COMPILE_CACHE=0 disables).
+
+    The bucketed sampling ladder + per-pad kernel auto-selection compile
+    one program per (pad, batch, kernel) combination; on the tunneled TPU
+    first-compiles run 20-40 s each, so a cold `bench.py` spends most of
+    its wall clock in the compiler. The cache makes every repeat
+    invocation (CI, the driver's bench run, serving restarts) hit disk
+    instead of recompiling.
+    """
+    import os
+
+    path = os.environ.get("JODO_COMPILE_CACHE", "")
+    if path == "0":
+        return
+    if not path:
+        path = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - older jax or read-only fs
+        pass
+
+
+_enable_compilation_cache()
