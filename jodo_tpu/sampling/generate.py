@@ -244,7 +244,7 @@ def make_sampling_fn(
         mols: List = []
         pending = None
         start = 0
-        while start < total:
+        while start < min(n_samples, total):
             key, sub = jax.random.split(key)
             if bucketed:
                 pad = next(p for p in _bucket_pads(pad_n)
@@ -253,6 +253,16 @@ def make_sampling_fn(
             else:
                 pad = pad_n
                 b_round = max(n_shards, (batch_size // n_shards) * n_shards)
+            # tail capping: don't pay for molecules beyond n_samples — cap
+            # the final round at the remainder, rounded up to a 64-lane
+            # (and shard-count) multiple so the program shape stays MXU/
+            # ladder friendly and the compile is reusable across calls
+            remaining = n_samples - min(n_samples, start)
+            if 0 < remaining < b_round:
+                quantum = max(64, n_shards)
+                b_round = max(
+                    quantum, int(np.ceil(remaining / quantum)) * quantum
+                )
             n_nodes = n_nodes_all[start : start + b_round]
             start += len(n_nodes)
             if len(n_nodes) < b_round:  # static shapes: pad the tail round
