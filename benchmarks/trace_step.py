@@ -64,16 +64,15 @@ def parse_xplane(logdir, topk=40):
         print(f"== plane: {plane.name}")
         for ln, t in sorted(by_line.items(), key=lambda kv: -kv[1]):
             print(f"   line {ln}: total {t:.2f} ms")
-        # pick the busiest line (usually "XLA Ops")
-        if not by_line:
-            continue
-        busiest = max(by_line, key=by_line.get)
-        rows = [(nm, t, op_count[(ln, nm)])
-                for (ln, nm), t in op_time.items() if ln == busiest]
-        rows.sort(key=lambda r: -r[1])
-        print(f"-- top ops on line '{busiest}':")
-        for nm, t, c in rows[:topk]:
-            print(f"   {t:9.3f} ms  x{c:<6d} {nm[:110]}")
+        # print per-op tables for every line ("XLA Ops" is the real
+        # device-time attribution; "Async XLA Ops" double-counts spans)
+        for ln in sorted(by_line, key=by_line.get, reverse=True):
+            rows = [(nm, t, op_count[(ln2, nm)])
+                    for (ln2, nm), t in op_time.items() if ln2 == ln]
+            rows.sort(key=lambda r: -r[1])
+            print(f"-- top ops on line '{ln}':")
+            for nm, t, c in rows[:topk]:
+                print(f"   {t:9.3f} ms  x{c:<6d} {nm[:110]}")
 
 
 def main():

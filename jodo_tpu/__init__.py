@@ -35,8 +35,19 @@ def _enable_compilation_cache():
     path = os.environ.get("JODO_COMPILE_CACHE", "")
     if path == "0":
         return
+    # a user-configured JAX cache dir always wins (ADVICE r2): never
+    # silently override the standard env var with the repo-local default
+    if not path and os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
     if not path:
-        path = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+        repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if not os.path.isdir(os.path.join(repo_dir, ".git")):
+            # pip-installed: don't write into site-packages' parent — use
+            # the per-user cache dir instead
+            repo_dir = os.path.join(
+                os.path.expanduser("~"), ".cache", "jodo_tpu"
+            )
+        path = os.path.join(repo_dir, ".jax_cache")
     try:
         import jax
 

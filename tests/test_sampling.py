@@ -159,3 +159,31 @@ def test_post_process_discretisation():
     et = np.asarray(et)[0]
     assert et[0, 1] == 2.0 and et[1, 2] == 2.0
     assert et[0, 0] == 0.0  # diagonal masked
+
+
+def test_bucketed_size_distribution_unbiased():
+    """ADVICE r2 (medium): bucketed tail capping must not bias molecule
+    sizes. Every size drawn from the atom-count prior must appear in the
+    output exactly once — in particular the SMALLEST draws, which the old
+    sorted-tail capping silently dropped."""
+    cfg = tiny_cfg(steps=2)
+    model, params = _setup_model(cfg)
+    sch = NoiseSchedule.create(cfg.sde.schedule)
+
+    class FixedDist:
+        def __init__(self, sizes):
+            self.sizes = np.asarray(sizes)
+
+        def sample(self, n):
+            assert n == len(self.sizes)
+            return self.sizes
+
+    # n_samples=6 with batch 4: old code generated the 8 largest of 8
+    # sorted draws and never produced any 3s; new code draws exactly 6
+    drawn = [8, 8, 7, 5, 3, 3]
+    fn = make_sampling_fn(
+        cfg, sch, model, FixedDist(drawn), batch_size=4, n_samples=6,
+        pad_n=N, bucketed=True,
+    )
+    mols = fn(params, seed=0)
+    assert sorted(len(m[1]) for m in mols) == sorted(drawn)

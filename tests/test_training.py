@@ -162,6 +162,39 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored2.step) == 0
 
 
+def test_checkpoint_async_roundtrip(tmp_path):
+    """Async saves (on-device snapshot + background fetch/write) must be
+    durable after flush() and byte-identical to sync saves."""
+    from jodo_tpu.training import CheckpointManager
+
+    cfg = tiny_cfg()
+    model = create_model(cfg)
+    tx = make_optimizer(cfg)
+    batch = make_batch(jax.random.PRNGKey(0))
+    params = model.init(
+        jax.random.PRNGKey(1),
+        jnp.full((B,), 0.5), batch["xh"], batch["node_mask"], batch["edge_mask"],
+        batch["edge_x"], jnp.zeros((B,)),
+    )
+    state = TrainState.create(params, tx)
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save_meta_async(state)
+    mgr.save_numbered_async(state, 7)
+    # donation-safety: mutating/dropping the caller's state after submit
+    # must not corrupt the snapshot (the manager copies on device)
+    state2 = state.replace(step=state.step + 1)
+    del state
+    mgr.flush()
+    assert mgr.available_checkpoints() == [7]
+    restored = mgr.restore_numbered(state2, 7)
+    assert int(restored.step) == 0
+    restored_meta = mgr.restore_meta(state2)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        restored.params, restored_meta.params,
+    )
+
+
 def test_multi_train_step_matches_sequential():
     """K steps scanned in one dispatch == K sequential single steps with
     the same per-step keys (exact same state pytree)."""
