@@ -253,11 +253,22 @@ def load_reference_checkpoint(path: str, config, which: str = "ema"):
     state = torch.load(path, map_location="cpu", weights_only=False)
     step = int(state.get("step", 0))
     if which == "ema":
+        # The reference's EMA serialises shadow_params as a bare list
+        # aligned with [p for p in parameters() if requires_grad]
+        # (ema.py:79-86). state_dict() detaches, so requires_grad is
+        # useless after torch.load; align positionally instead. DGT/CDGS
+        # have no buffers, so state_dict order == parameters() order;
+        # guard with a floating-point filter in case of int buffers.
         shadow = state["ema"]["shadow_params"]
         model_sd = state["model"]
-        keys = [k for k, v in model_sd.items() if v.requires_grad] if any(
-            hasattr(v, "requires_grad") for v in model_sd.values()
-        ) else list(model_sd.keys())
+        keys = list(model_sd.keys())
+        if len(keys) != len(shadow):
+            keys = [k for k, v in model_sd.items()
+                    if getattr(v, "is_floating_point", lambda: True)()]
+        if len(keys) != len(shadow):
+            raise ValueError(
+                f"cannot align EMA shadow_params ({len(shadow)}) with model "
+                f"state_dict ({len(model_sd)} entries)")
         sd = dict(zip(keys, shadow))
     else:
         sd = state["model"]

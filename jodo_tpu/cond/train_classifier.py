@@ -47,6 +47,7 @@ def build_classifier_training(config, prop: str, lr: float = 1e-4,
     loader = make_loader(
         config, first_train, pad_n, config.training.batch_size,
         property_values=values.reshape(-1, 1), seed=config.seed,
+        compact=False,  # EGNN step consumes the dense keys directly
     )
     model = EGNNRegressor(in_node_nf=config.data.atom_types)
     # short auto-train budgets need a stable recipe: global-norm clipping

@@ -40,6 +40,9 @@ def base_config() -> ml_collections.ConfigDict:
     # 'chemical' = valence-exact, 3D-stable-by-construction molecules
     # (data/synthetic.py); 'random' = cheap random graphs
     data.synthetic_kind = "chemical"
+    # int8-coded batches expanded on device (decode_compact_batch): ~9x
+    # less host->device traffic + cheaper host collate; exactness-tested
+    data.compact_batches = True
 
     # SDE
     config.sde = sde = ml_collections.ConfigDict()
@@ -146,6 +149,7 @@ def base_config() -> ml_collections.ConfigDict:
     # generation only; training always takes the XLA autodiff path.
     tpu.pallas_auto = True
     tpu.use_pallas_equi = False  # fused equi-gate kernel (currently slower; see BASELINE.md)
+    tpu.fold_equi_ln = False  # algebraic LN fold: exact but measured slower (BASELINE.md r5)
     tpu.use_pallas_edge_chain = False  # fused post-attention edge+equi chain kernel
     tpu.use_pallas_block = False  # fully-fused per-layer pair chain (ops/pallas_dgt)
     # recompute attention in bwd. r3 value-fetch timings: OFF is faster at

@@ -8,19 +8,25 @@ MolData views, with a synthetic fallback for hermetic runs.
 from __future__ import annotations
 
 import os
+from typing import Optional
 
 import numpy as np
 
-from .core import MolData, collate_batch, split_indices
+from .core import MolData, collate_batch, collate_batch_compact, split_indices
 from .datasets_info import DATASET_INFO, get_dataset_info
 from .loader import BatchLoader, BucketedLoader
-from .process import prepare_2d_batch, prepare_graph_batch, prepare_node_batch
+from .process import (decode_compact_batch, make_batch_decoder,
+                      prepare_2d_batch, prepare_graph_batch,
+                      prepare_node_batch)
 from .synthetic import chemical_synthetic_dataset, synthetic_dataset
 from . import ingest
 
 __all__ = [
     "MolData",
     "collate_batch",
+    "collate_batch_compact",
+    "decode_compact_batch",
+    "make_batch_decoder",
     "split_indices",
     "DATASET_INFO",
     "get_dataset_info",
@@ -116,7 +122,10 @@ def get_dataset(config, synthetic_fallback: bool = False, synthetic_size: int = 
 
 
 def make_loader(config, data: MolData, pad_n: int, batch_size: int,
-                property_values=None, shuffle: bool = True, seed: int = 0):
+                property_values=None, shuffle: bool = True, seed: int = 0,
+                compact: Optional[bool] = None):
+    if compact is None:
+        compact = bool(config.data.get("compact_batches", True))
     return BatchLoader(
         data,
         np.arange(len(data)),
@@ -129,13 +138,17 @@ def make_loader(config, data: MolData, pad_n: int, batch_size: int,
         property_values=property_values,
         shuffle=shuffle,
         seed=seed,
+        compact=compact,
     )
 
 
 def make_bucketed_loader(config, data: MolData, pads, batch_size: int,
-                         property_values=None, seed: int = 0):
+                         property_values=None, seed: int = 0,
+                         compact: Optional[bool] = None):
     """Train-side pad ladder (see BucketedLoader): each multi-step chunk
     runs at its bucket's pad instead of the dataset max."""
+    if compact is None:
+        compact = bool(config.data.get("compact_batches", True))
     return BucketedLoader(
         data,
         np.arange(len(data)),
@@ -147,4 +160,5 @@ def make_bucketed_loader(config, data: MolData, pads, batch_size: int,
         bond_types=config.data.bond_types,
         property_values=property_values,
         seed=seed,
+        compact=compact,
     )

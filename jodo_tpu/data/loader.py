@@ -14,7 +14,7 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 
-from .core import MolData, collate_batch
+from .core import MolData, collate_batch, collate_batch_compact
 
 __all__ = ["BatchLoader", "BucketedLoader"]
 
@@ -43,6 +43,7 @@ class BatchLoader:
         shuffle: bool = True,
         seed: int = 0,
         prefetch: int = 2,
+        compact: bool = False,
     ):
         self.data = data
         self.indices = np.asarray(indices)
@@ -55,6 +56,7 @@ class BatchLoader:
         self.property_values = property_values
         self.shuffle = shuffle
         self._rng = np.random.default_rng(seed)
+        self.compact = compact
         self._collate = _get_collate()
         self._prefetch = prefetch
 
@@ -67,6 +69,12 @@ class BatchLoader:
         return self.indices
 
     def _make_batch(self, idx) -> Dict[str, np.ndarray]:
+        if self.compact:
+            # int8-coded batch; expansion happens on device (see
+            # core.collate_batch_compact / process.decode_compact_batch)
+            return collate_batch_compact(
+                self.data, idx, self.pad_n, self.property_values
+            )
         return self._collate(
             self.data,
             idx,
@@ -165,6 +173,7 @@ class BucketedLoader:
         bond_types: int = 4,
         property_values: Optional[np.ndarray] = None,
         seed: int = 0,
+        compact: bool = False,
     ):
         indices = np.asarray(indices)
         sizes = np.asarray(data.n_nodes)[indices]
@@ -198,6 +207,7 @@ class BucketedLoader:
                 data, indices[mask], batch_size, pad, num_atom_types,
                 compress_edge, include_aromatic, bond_types,
                 property_values, shuffle=True, seed=seed + pad,
+                compact=compact,
             )
             self.iters[pad] = self.loaders[pad].infinite_sync()
         w = np.asarray(weights, np.float64)

@@ -9,12 +9,87 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 
-from ..ops.masks import remove_mean_with_mask
+from ..ops.masks import masks_from_counts, remove_mean_with_mask
 from ..ops.scalers import DataScaler
 
-__all__ = ["prepare_graph_batch", "prepare_2d_batch", "prepare_node_batch"]
+__all__ = [
+    "prepare_graph_batch",
+    "prepare_2d_batch",
+    "prepare_node_batch",
+    "decode_compact_batch",
+    "make_batch_decoder",
+]
+
+
+def decode_compact_batch(
+    raw: Dict,
+    num_atom_types: int,
+    compress_edge: bool = True,
+    include_aromatic: bool = False,
+    bond_types: int = 4,
+) -> Dict:
+    """Expand an integer-coded batch (core.collate_batch_compact) to the
+    dense float batch, ON DEVICE inside the jitted step.
+
+    No-op passthrough for already-dense batches, so every consumer can call
+    it unconditionally. Exactness vs collate_batch is tested
+    (tests/test_data.py). The one-hot/mask expansion is a handful of fused
+    VPU compare/select ops — free next to the model forward — while the
+    host->device transfer shrinks ~9x (see collate_batch_compact)."""
+    if "bond_code" not in raw:
+        return raw
+    code = raw["bond_code"].astype(jnp.int32)
+    pad_n = code.shape[-1]
+    nm, em = masks_from_counts(raw["n_nodes"], pad_n)
+    # padding rows carry atom_types == -1 -> one_hot gives all-zeros there,
+    # matching the dense collate's zero rows
+    one_hot = jax.nn.one_hot(
+        raw["atom_types"].astype(jnp.int32), num_atom_types, dtype=jnp.float32
+    )
+    fc = raw["charges"].astype(jnp.float32)[..., None]
+    if compress_edge:
+        # [exist, order/3 (aromatic->0), (aromatic)] — EdgeCom encoding
+        # (reference datasets/build_dataset.py:150-171)
+        exist = (code > 0).astype(jnp.float32)
+        order = jnp.where(code == 4, 0, code).astype(jnp.float32) / 3.0
+        chans = [exist, order]
+        if include_aromatic:
+            chans.append((code == 4).astype(jnp.float32))
+        edge = jnp.stack(chans, axis=-1)
+    else:
+        # one-hot over bond codes 1..bond_types-1; code 0 (no bond) maps to
+        # index -1 which one_hot zeroes
+        edge = jax.nn.one_hot(code - 1, bond_types - 1, dtype=jnp.float32)
+    out = {
+        "atom_one_hot": one_hot,
+        "formal_charges": fc,
+        "edge_one_hot": edge,
+        "node_mask": nm,
+        "edge_mask": em,
+    }
+    if "positions" in raw:
+        out["positions"] = raw["positions"]
+    if "context" in raw:
+        out["context"] = raw["context"]
+    return out
+
+
+def make_batch_decoder(config):
+    """Bind the dataset's edge/atom encoding into a decode closure."""
+    num_atom_types = int(config.data.atom_types)
+    compress_edge = bool(config.data.compress_edge)
+    include_aromatic = bool(config.data.include_aromatic)
+    bond_types = int(config.data.bond_types)
+
+    def decode(raw: Dict) -> Dict:
+        return decode_compact_batch(
+            raw, num_atom_types, compress_edge, include_aromatic, bond_types
+        )
+
+    return decode
 
 
 def _normalize_context(context, prop_norm_values):

@@ -56,6 +56,7 @@ def create_model(config, pallas_overrides=None):
     pallas = dict(
         use_pallas=_use_pallas(config),
         use_pallas_equi=_flag(config, "use_pallas_equi"),
+        fold_equi_ln=_flag(config, "fold_equi_ln"),
         use_pallas_edge_chain=_flag(config, "use_pallas_edge_chain"),
         use_pallas_block=_flag(config, "use_pallas_block"),
     )

@@ -48,6 +48,12 @@ class EquivariantCoordUpdate(nn.Module):
     extra_heads: int = 0
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False  # measured slower than XLA here; off by default
+    # algebraic LN fold (see _folded_gate): exactness-tested but measured
+    # SLOWER than the materialised path at every production bucket shape
+    # (benchmarks/fold_ab.py; BASELINE.md r5) — the f32 stats einsums and
+    # the extra [B,N,N,M] quadratic-form tensor cost more than the fold
+    # saves. Kept as a documented negative result; off by default.
+    fold_ln: bool = False
 
     @nn.compact
     def __call__(self, h, pos, edge_feat, dist_feat, edge_mask, time_emb,
@@ -101,6 +107,23 @@ class EquivariantCoordUpdate(nn.Module):
                 b_c0, w_c1.astype(dt),
                 extra_heads=self.extra_heads, interpret=interpret,
             )[..., None]
+        elif self.fold_ln:
+            # algebraic LN/modulate fold: the [B,N,N,hd] tensors y_ed, inp
+            # and the normalised stream are never materialised — the step
+            # is HBM-bound on exactly those hd-wide pair tensors (r3 HLO
+            # trace: the equi chain is ~40% of per-step traffic). Math:
+            #   inp = a_i (+bias) + b_j + (e||d) @ W          (affine)
+            #   LN stats are contractions: mean is linear in the three
+            #   terms; E[inp^2] expands into per-node sums, a_i.b_j Gram
+            #   matmuls and (e||d)-side quadratic forms (all MXU work).
+            #   modulate+matmul folds per-graph: norm*(1+s) @ w_c0 =
+            #   rstd*[inp @ (diag(1+s) w_c0)] - rstd*mu*[(1+s) w_c0] + ...
+            # so the only hd-wide pair tensor left is the single matmul
+            # output P, consumed once by the fused silu+gate reductions.
+            inv = self._folded_gate(
+                y_i, y_j, edge_feat.astype(dt), dist_feat.astype(dt),
+                w_e, w_d, w_c0, b_c0, w_c1, shift, scale, extra_adj, dt,
+            )
         else:
             # one [2E -> hd] pair matmul instead of two [E -> hd]: same
             # affine map (params stay separate for the fused kernels /
@@ -120,25 +143,10 @@ class EquivariantCoordUpdate(nn.Module):
             # fusions measured ~1.5 ms/step at QM9 sampling scale), while
             # [B,N,N] reductions over g fuse cleanly. tanh/means in f32
             # (position update math stays f32 for geometric precision).
-            n_gate = 1 + self.extra_heads
-            w_c1_f = w_c1.astype(dt)
-
-            def head(hh):
-                return jnp.tanh(jnp.einsum(
-                    "bijc,c->bij", g, w_c1_f[:, hh],
-                    preferred_element_type=jnp.float32,
-                ))
-
-            gate = head(0)
-            for hh in range(1, n_gate):
-                if extra_adj is not None:
-                    gate = gate + head(hh) * extra_adj[..., hh - 1].astype(
-                        jnp.float32)
-                else:  # all-heads mean (reference mol_gnn.py:84-94 with
-                    gate = gate + head(hh)  # ones adjacency)
-            inv = (gate / n_gate)[..., None]
+            inv = self._gate_heads(g, w_c1.astype(dt), extra_adj)
 
         # trans_ij = (p_i - p_j)/max(r_ij, eps) * scale * inv_ij * mask_ij,
+        # (gate math above; position update below is path-independent)
         # summed over j. Factored as p_i * rowsum(w) - w @ p with
         # w_ij = scale * inv_ij * mask_ij / max(r_ij, eps): no [B,N,N,3]
         # pair tensor is ever materialised and the reduction is one MXU
@@ -153,6 +161,104 @@ class EquivariantCoordUpdate(nn.Module):
         w = inv[..., 0] * edge_mask * (cn_scale[0] / r)  # [B,N,N]
         rowsum = jnp.sum(w, axis=2, keepdims=True)  # [B,N,1]
         return pos + posf * rowsum - jnp.einsum("bij,bjc->bic", w, posf)
+
+    def _gate_heads(self, g, w_c1_f, extra_adj):
+        """Per-head lane reductions tanh(g . w_c1[:,h]) -> mean/adj-weighted
+        combination (reference mol_gnn.py:84-94)."""
+        n_gate = 1 + self.extra_heads
+
+        def head(hh):
+            return jnp.tanh(jnp.einsum(
+                "bijc,c->bij", g, w_c1_f[:, hh],
+                preferred_element_type=jnp.float32,
+            ))
+
+        gate = head(0)
+        for hh in range(1, n_gate):
+            if extra_adj is not None:
+                gate = gate + head(hh) * extra_adj[..., hh - 1].astype(
+                    jnp.float32)
+            else:  # all-heads mean with ones adjacency
+                gate = gate + head(hh)
+        return (gate / n_gate)[..., None]
+
+    def _folded_gate(self, y_i, y_j, edge_feat, dist_feat,
+                     w_e, w_d, w_c0, b_c0, w_c1, shift, scale, extra_adj,
+                     dt):
+        """LN+modulate+coord_mlp_0 with the normalisation folded into the
+        matmul (exact same affine map as the materialised path; see the
+        call-site comment). All statistics accumulate in f32.
+
+        Derivation: with inp = a_i + b_j + p_ij, p = (e||d) @ W,
+          mean_ij = abar_i + bbar_j + (e||d)_ij @ rowmean(W)
+          E[inp^2]_ij = (sum a^2 + sum b^2 + p.p + 2(a.b + a.p + b.p))/C
+        where a.b is a Gram matmul, a.p = (e||d).(W a_i), p.p the quadratic
+        form (e||d) W W^T (e||d)^T. Then
+          silu(modulate(LN(inp), sh, sc) @ w_c0 + b) =
+          silu(rstd * [inp @ W' - mean * u] + v),  W' = diag(1+sc) w_c0,
+          u = (1+sc) @ w_c0, v = sh @ w_c0 + b.
+        """
+        f32 = jnp.float32
+        hd = self.hidden_dim
+        ed = jnp.concatenate([edge_feat, dist_feat], axis=-1)  # [B,N,N,M]
+        W = jnp.concatenate([w_e, w_d], axis=0).astype(f32)  # [M, hd]
+        one_scale = 1.0 + scale.astype(f32)  # [B, hd]
+        w0f = w_c0.astype(f32)
+
+        # per-graph modulated kernels / offsets
+        m_b = jnp.einsum("mk,bk,kc->bmc", W, one_scale, w0f)  # [B,M,hd]
+        u = one_scale @ w0f  # [B, hd]
+        v = shift.astype(f32) @ w0f + b_c0.astype(f32)[None, :]  # [B, hd]
+
+        af = y_i.astype(f32)  # [B,N,hd] (carries the input_lin_i bias)
+        bf = y_j.astype(f32)
+        z_i = (af * one_scale[:, None, :]) @ w0f  # [B,N,hd]
+        z_j = (bf * one_scale[:, None, :]) @ w0f
+
+        # LN statistics via contractions (f32 accumulation)
+        abar = jnp.mean(af, -1)  # [B,N]
+        bbar = jnp.mean(bf, -1)
+        sa = jnp.sum(af * af, -1)
+        sb = jnp.sum(bf * bf, -1)
+        gram = jnp.einsum("bic,bjc->bij", af, bf)  # [B,N,N]
+        wbar = jnp.mean(W, axis=1)  # [M]
+        a_w = af @ W.T  # [B,N,M]
+        b_w = bf @ W.T
+        q = W @ W.T  # [M,M]
+        t = jnp.einsum(
+            "bijm,mn->bijn", ed, q.astype(dt),
+            preferred_element_type=f32,
+        ).astype(dt)  # [B,N,N,M]
+        pbar = jnp.einsum("bijm,m->bij", ed, wbar.astype(dt),
+                          preferred_element_type=f32)
+        cross_a = jnp.einsum("bijm,bim->bij", ed, a_w.astype(dt),
+                             preferred_element_type=f32)
+        cross_b = jnp.einsum("bijm,bjm->bij", ed, b_w.astype(dt),
+                             preferred_element_type=f32)
+        sp = jnp.einsum("bijm,bijm->bij", ed, t,
+                        preferred_element_type=f32)
+
+        c = float(hd)
+        # pbar is already the channel MEAN of p (wbar is a row mean)
+        mu = abar[:, :, None] + bbar[:, None, :] + pbar
+        ex2 = (sa[:, :, None] + sb[:, None, :] + sp
+               + 2.0 * (gram + cross_a + cross_b)) / c
+        var = jnp.maximum(ex2 - mu * mu, 0.0)
+        rstd = jax.lax.rsqrt(var + 1e-6)  # matches layer_norm eps
+
+        # the single hd-wide pair tensor: P = (e||d) @ m_b  (MXU)
+        p_mod = jnp.einsum(
+            "bijm,bmc->bijc", ed, m_b.astype(dt),
+            preferred_element_type=f32,
+        ).astype(dt)
+        pre = (p_mod
+               + z_i.astype(dt)[:, :, None, :]
+               + z_j.astype(dt)[:, None, :, :]).astype(f32)
+        out = (pre * rstd[..., None]
+               + (v[:, None, None, :]
+                  - (rstd * mu)[..., None] * u[:, None, None, :]))
+        g = nn.silu(out)  # f32, fused into the gate reductions below
+        return self._gate_heads(g, w_c1.astype(f32), extra_adj)
 
 
 class DGTBlock(nn.Module):
@@ -178,6 +284,7 @@ class DGTBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     use_pallas_equi: bool = False
+    fold_equi_ln: bool = False  # LN fold: exact but slower (BASELINE.md r5)
     use_pallas_edge_chain: bool = False  # fused post-attn edge+equi kernel
     use_pallas_block: bool = False  # fully-fused pair chain (ops/pallas_dgt)
     remat_attn: bool = True
@@ -295,7 +402,8 @@ class DGTBlock(nn.Module):
                             dtype=self.dtype, name="ff_edge")
         equi = EquivariantCoordUpdate(
             self.node_dim, self.extra_heads, dtype=self.dtype,
-            use_pallas=self.use_pallas_equi, name="equi_update"
+            use_pallas=self.use_pallas_equi, fold_ln=self.fold_equi_ln,
+            name="equi_update"
         ) if self.equivariant else None
 
         # fused Pallas path: the whole post-attention pair-tensor chain
@@ -658,6 +766,7 @@ class DGT(nn.Module):
     compute_dtype: str = "float32"  # 'bfloat16' halves HBM traffic
     use_pallas: bool = False  # fused edge-attention kernel
     use_pallas_equi: bool = False  # fused equi-update gate kernel (see BASELINE.md)
+    fold_equi_ln: bool = False  # LN fold: exact but slower (BASELINE.md r5)
     use_pallas_edge_chain: bool = False  # fused post-attn edge+equi kernel
     use_pallas_block: bool = False  # fully-fused pair chain (ops/pallas_dgt)
     remat_attn: bool = True  # recompute attention in bwd (see BASELINE.md r2)
@@ -779,6 +888,7 @@ class DGT(nn.Module):
                 dtype=dt,
                 use_pallas=self.use_pallas,
                 use_pallas_equi=self.use_pallas_equi,
+                fold_equi_ln=self.fold_equi_ln,
                 use_pallas_edge_chain=self.use_pallas_edge_chain,
                 use_pallas_block=self.use_pallas_block,
                 remat_attn=self.remat_attn,

@@ -37,6 +37,7 @@ SLOW_MODULES = {
     "test_pallas_block",
     "test_parallel",
     "test_parity",
+    "test_parity_harness",
     "test_run_lib",
     "test_sampling",
     "test_serve",

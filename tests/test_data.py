@@ -112,6 +112,76 @@ def test_infinite_loader():
     it.close()
 
 
+def test_compact_collate_decode_exact():
+    """collate_batch_compact + on-device decode == the dense collate,
+    for both edge encodings and with/without aromatic channel."""
+    import jax
+
+    from jodo_tpu.data import collate_batch_compact, decode_compact_batch
+    from jodo_tpu.data.datasets_info import QM9_WITH_H
+
+    rng = np.random.default_rng(7)
+    mols = []
+    for _ in range(12):
+        n = int(rng.integers(2, 9))
+        at = rng.integers(0, 5, n)
+        fc = rng.integers(-1, 2, n)
+        pos = rng.normal(size=(n, 3)).astype(np.float32)
+        src, dst, bt = [], [], []
+        for i in range(n - 1):  # chain + occasional aromatic ring bond
+            t = int(rng.integers(1, 5))
+            src += [i, i + 1]
+            dst += [i + 1, i]
+            bt += [t, t]
+        mols.append(dict(atom_type=at, fc=fc, pos=pos, bond_src=src,
+                         bond_dst=dst, bond_type=bt, y=rng.normal(size=2)))
+    data = MolData.from_molecules(mols, QM9_WITH_H)
+    idx = np.arange(12)
+    props = rng.normal(size=(12, 1))
+
+    for compress, aromatic in [(True, False), (True, True), (False, False)]:
+        dense = collate_batch(
+            data, idx, pad_n=12, num_atom_types=5, compress_edge=compress,
+            include_aromatic=aromatic, bond_types=5,
+            property_values=props,
+        )
+        compact = collate_batch_compact(data, idx, pad_n=12,
+                                        property_values=props)
+        decoded = jax.jit(lambda r: decode_compact_batch(
+            r, 5, compress, aromatic, 5))(
+            {k: jnp.asarray(v) for k, v in compact.items()})
+        assert set(decoded) == set(dense)
+        for k in dense:
+            np.testing.assert_allclose(
+                np.asarray(decoded[k]), dense[k], atol=1e-7, err_msg=k)
+
+
+def test_compact_loader_through_prepare():
+    """A compact BatchLoader batch flows through decode + prepare into the
+    same prepared tensors as the dense path."""
+    from jodo_tpu.data import decode_compact_batch
+
+    data = synthetic_dataset("qm9_with_h", num_mols=32, seed=5)
+    dense_loader = BatchLoader(data, np.arange(32), batch_size=16, pad_n=32,
+                               num_atom_types=5, shuffle=False)
+    compact_loader = BatchLoader(data, np.arange(32), batch_size=16,
+                                 pad_n=32, num_atom_types=5, shuffle=False,
+                                 compact=True)
+    dense = next(iter(dense_loader.epoch()))
+    compact = next(iter(compact_loader.epoch()))
+    scaler = DataScaler(1, 4, 4, 1, centered=True)
+    p_dense = prepare_graph_batch(
+        {k: jnp.asarray(v) for k, v in dense.items()}, scaler)
+    p_compact = prepare_graph_batch(
+        decode_compact_batch(
+            {k: jnp.asarray(v) for k, v in compact.items()}, 5),
+        scaler)
+    for k in p_dense:
+        np.testing.assert_allclose(
+            np.asarray(p_compact[k]), np.asarray(p_dense[k]), atol=1e-6,
+            err_msg=k)
+
+
 def test_get_dataset_synthetic_fallback():
     cfg = get_config("qm9_uncond_jodo")
     train, valid, test, info = get_dataset(cfg, synthetic_fallback=True,
@@ -159,8 +229,8 @@ def test_epoch_include_tail_covers_every_sample():
     cfg.data.root = "/nonexistent/qm9"
     train, _, _, _ = get_dataset(cfg, synthetic_fallback=True, synthetic_size=50)
     loader = make_loader(cfg, train, 32, batch_size=8, shuffle=False)
-    n_default = sum(b["node_mask"].shape[0] for b in loader.epoch())
-    n_tail = sum(b["node_mask"].shape[0] for b in loader.epoch(include_tail=True))
+    n_default = sum(b["n_nodes"].shape[0] for b in loader.epoch())
+    n_tail = sum(b["n_nodes"].shape[0] for b in loader.epoch(include_tail=True))
     assert n_default == (len(train) // 8) * 8
     assert n_tail >= len(train)
     assert n_tail % 8 == 0

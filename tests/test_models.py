@@ -73,15 +73,17 @@ def test_dgt_rotation_equivariance(dgt_setup):
     xh_rot = xh.at[:, :, :3].set(jnp.einsum("ij,bnj->bni", q, xh[:, :, :3]))
     pred_rot, epred_rot = model.apply(params, t, xh_rot, nm, em, ex, nl)
 
+    # atol = one bf16 ulp at |x|~0.5 (the default compute dtype): rotation
+    # equivariance is exact only in exact arithmetic
     np.testing.assert_allclose(
         np.asarray(pred_rot[:, :, :3]),
         np.asarray(jnp.einsum("ij,bnj->bni", q, pred[:, :, :3])),
-        atol=2e-3,
+        atol=4e-3,
     )
     np.testing.assert_allclose(
-        np.asarray(pred_rot[:, :, 3:]), np.asarray(pred[:, :, 3:]), atol=2e-3
+        np.asarray(pred_rot[:, :, 3:]), np.asarray(pred[:, :, 3:]), atol=4e-3
     )
-    np.testing.assert_allclose(np.asarray(epred_rot), np.asarray(epred), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(epred_rot), np.asarray(epred), atol=4e-3)
 
 
 def test_dgt_translation_invariance(dgt_setup):
@@ -151,3 +153,47 @@ def test_cond_dgt_context():
     pred, _ = model.apply(params, t, xh, nm, em, ex, nl, context=ctx)
     pred2, _ = model.apply(params, t, xh, nm, em, ex, nl, context=ctx * 2.0)
     assert np.abs(np.asarray(pred2 - pred)).max() > 1e-6
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("with_time", [True, False])
+@pytest.mark.parametrize("extra_heads", [2, 0])
+def test_equi_folded_ln_matches_materialised(dtype, with_time, extra_heads):
+    """The algebraic LN fold in EquivariantCoordUpdate must reproduce the
+    materialised LN+modulate+matmul path (same params, same inputs)."""
+    from jodo_tpu.models.dgt import EquivariantCoordUpdate
+
+    b, n, hd, e_ch, d_ch = 3, 8, 64, 16, 16
+    dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 7)
+    h = jax.random.normal(ks[0], (b, n, hd))
+    pos = jax.random.normal(ks[1], (b, n, 3))
+    edge_feat = jax.random.normal(ks[2], (b, n, n, e_ch))
+    dist_feat = jax.random.normal(ks[3], (b, n, n, d_ch))
+    em = (jnp.ones((b, n, n)) - jnp.eye(n)[None])
+    time_emb = jax.random.normal(ks[4], (b, 32)) if with_time else None
+    extra_adj = (
+        jax.random.bernoulli(ks[5], 0.5, (b, n, n, extra_heads)).astype(
+            jnp.float32)
+        if extra_heads else None
+    )
+
+    def run(fold):
+        mod = EquivariantCoordUpdate(
+            hidden_dim=hd, extra_heads=extra_heads, dtype=dt, fold_ln=fold
+        )
+        params = mod.init(jax.random.PRNGKey(42), h, pos, edge_feat,
+                          dist_feat, em, time_emb, extra_adj)
+        out = mod.apply(params, h, pos, edge_feat, dist_feat, em, time_emb,
+                        extra_adj)
+        return params, np.asarray(out)
+
+    p_fold, out_fold = run(True)
+    p_mat, out_mat = run(False)
+    # identical param trees (checkpoint/converter invariance)
+    assert jax.tree.map(lambda a: a.shape, p_fold) == jax.tree.map(
+        lambda a: a.shape, p_mat
+    )
+    tol = 2e-5 if dtype == "float32" else 6e-2
+    np.testing.assert_allclose(out_fold, out_mat, atol=tol, rtol=tol)

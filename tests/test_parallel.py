@@ -109,3 +109,31 @@ def test_sampling_round_shards_batch_across_mesh():
     assert len(devices) == 8  # one shard per device, not replicas
     for s in shards:
         assert s.data.shape[0] == batch // 8  # batch axis divided
+
+
+@pytest.mark.parametrize("n_dev", [8, 6])
+def test_sharded_sampling_rounds_divisible(n_dev):
+    """Every round batch the bucketed sampler emits under a mesh — tail
+    rounds included — must divide the mesh's data axis (the jit
+    in_shardings P('data') constraint). Covers the lcm(64, n_shards) tail
+    quantum on a non-power-of-two 6-device mesh (ADVICE r2)."""
+    from jodo_tpu.sampling import make_sampling_fn
+
+    cfg = tiny_cfg()
+    cfg.sampling.steps = 2
+    parts = run_lib.build_training(cfg)
+    state = run_lib.init_state(cfg, parts)
+    mesh = make_mesh("", devices=jax.devices()[:n_dev])
+    params = replicate_state(state.params, mesh)
+    # n_samples chosen to force a capped tail round (not a multiple of the
+    # base batch) at a batch that is NOT naturally a multiple of 6
+    fn = make_sampling_fn(
+        cfg, parts["schedule"], parts["model"], parts["nodes_dist"],
+        batch_size=16, n_samples=70, pad_n=parts["pad_n"], mesh=mesh,
+    )
+    log = []
+    mols = fn(params, seed=0, round_log=log)
+    assert len(mols) == 70
+    assert log, "no rounds recorded"
+    for _pad, b_round in log:
+        assert b_round % n_dev == 0, (n_dev, log)
