@@ -48,14 +48,23 @@ def test_bucket_partition_and_shapes(train_ds):
     for pad in loader.pads:
         idx = loader.loaders[pad].indices
         assert (sizes[idx] <= pad).all()
+    # compact int8-coded chunks (the default since compact_batches=True);
+    # the dense expansion happens on device (data/process.py)
     for _ in range(6):
         pad, chunk = loader.next_chunk(4)
         assert pad in loader.pads
-        assert chunk["atom_one_hot"].shape[:3] == (4, 8, pad)
-        assert chunk["edge_one_hot"].shape[2:4] == (pad, pad)
-        assert chunk["node_mask"].shape == (4, 8, pad)
+        assert chunk["atom_types"].shape == (4, 8, pad)
+        assert chunk["bond_code"].shape == (4, 8, pad, pad)
+        assert chunk["n_nodes"].shape == (4, 8)
     pad, single = loader.next_chunk(1)
-    assert single["atom_one_hot"].shape[:2] == (8, pad)
+    assert single["atom_types"].shape == (8, pad)
+
+    dense = make_bucketed_loader(cfg, train_ds, [16, 24, 32], 8, seed=0,
+                                 compact=False)
+    pad, chunk = dense.next_chunk(2)
+    assert chunk["atom_one_hot"].shape[:3] == (2, 8, pad)
+    assert chunk["edge_one_hot"].shape[2:4] == (pad, pad)
+    assert chunk["node_mask"].shape == (2, 8, pad)
 
 
 def test_bucket_sampling_proportional(train_ds):

@@ -111,6 +111,47 @@ def test_sampling_round_shards_batch_across_mesh():
         assert s.data.shape[0] == batch // 8  # batch axis divided
 
 
+def test_sharded_round_per_device_flops_divided():
+    """Compiled-program evidence that the mesh divides WORK, not just
+    data (VERDICT r2 task #7): XLA's cost analysis of the jitted round is
+    per-device, so the 8-device mesh program must carry ~1/8 the FLOPs of
+    the single-device program. (A wall-clock delta is meaningless on this
+    1-core host where all 8 virtual devices share one core — the compiled
+    per-device FLOP count is the scheduler-independent ground truth.)"""
+    from jodo_tpu.sampling import make_round_fn
+
+    cfg = tiny_cfg()
+    cfg.sampling.steps = 2
+    parts = run_lib.build_training(cfg)
+    state = run_lib.init_state(cfg, parts)
+    batch = 16
+
+    def compiled_flops(mesh):
+        round_fn = make_round_fn(
+            cfg, parts["schedule"], parts["model"], parts["pad_n"], mesh=mesh
+        )
+        n_nodes = jnp.full((batch,), 10, jnp.int32)
+        params = state.params
+        if mesh is not None:
+            n_nodes = shard_batch({"n": n_nodes}, mesh)["n"]
+            params = replicate_state(params, mesh)
+        # round_fn jits internally; reach the cached jit via trace+lower
+        import jax as _jax
+
+        lowered = _jax.jit(
+            lambda p, k, n: round_fn(p, k, n)
+        ).lower(params, jax.random.PRNGKey(0), n_nodes)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+
+    f1 = compiled_flops(None)
+    f8 = compiled_flops(make_mesh(""))
+    ratio = f1 / f8
+    assert 6.0 < ratio < 10.0, (f1, f8, ratio)
+
+
 @pytest.mark.parametrize("n_dev", [8, 6])
 def test_sharded_sampling_rounds_divisible(n_dev):
     """Every round batch the bucketed sampler emits under a mesh — tail
