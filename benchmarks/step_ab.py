@@ -70,6 +70,8 @@ def main():
         "xla": dict(use_pallas=False, use_pallas_block=False),
         "attn": dict(use_pallas=True, use_pallas_block=False),
         "block": dict(use_pallas=True, use_pallas_block=True),
+        "echain": dict(use_pallas=True, use_pallas_block=False,
+                       use_pallas_edge_chain=True),
     }
     if os.environ.get("JODO_AB_VARIANTS"):
         keep = os.environ["JODO_AB_VARIANTS"].split(",")
