@@ -18,6 +18,7 @@ Forward contract (dense; the portability seam of SURVEY.md section 3.3):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -166,6 +167,24 @@ class EquivariantCoordUpdate(nn.Module):
         """Per-head lane reductions tanh(g . w_c1[:,h]) -> mean/adj-weighted
         combination (reference mol_gnn.py:84-94)."""
         n_gate = 1 + self.extra_heads
+
+        if os.environ.get("JODO_EQUI_GATE") == "packed":
+            # one pass over g: contract all heads at once with the head
+            # axis placed SECOND ([B,M,N,N]) so the minor dim is N (sublane
+            # pad only), not the 1+extra lane dim a [B,N,N,M] output would
+            # pad 43x to 128 lanes (r2 measurement; docstring above)
+            t = jnp.tanh(jnp.einsum(
+                "bijc,cm->bmij", g, w_c1_f,
+                preferred_element_type=jnp.float32,
+            ))
+            gate = t[:, 0]
+            for hh in range(1, n_gate):
+                if extra_adj is not None:
+                    gate = gate + t[:, hh] * extra_adj[..., hh - 1].astype(
+                        jnp.float32)
+                else:
+                    gate = gate + t[:, hh]
+            return (gate / n_gate)[..., None]
 
         def head(hh):
             return jnp.tanh(jnp.einsum(

@@ -61,6 +61,19 @@ def _mm4(x, w):
     )
 
 
+def _tanh(x):
+    """tanh for the gate tensors — the kernel's VPU bottleneck (~520M
+    evaluations/step at QM9 sampling scale).
+
+    JODO_ATTN_TANH=exp switches to the algebraically exact identity
+    tanh(x) = 1 - 2/(1 + e^{2x}) (one exp + one reciprocal, saturates
+    correctly at +/-inf in f32) for A/B against Mosaic's native tanh
+    lowering."""
+    if os.environ.get("JODO_ATTN_TANH") == "exp":
+        return 1.0 - 2.0 / (1.0 + jnp.exp(2.0 * x))
+    return jnp.tanh(x)
+
+
 def _attn_kernel(
     q_ref, k_ref, v_ref, e_ref, extra_ref, mask_ref, w0_ref, w1_ref, out_ref,
     *, sub_heads, sub_ch, heads, out_ch, extra_heads, softmax_inf, scale,
@@ -72,8 +85,8 @@ def _attn_kernel(
     f32 = jnp.float32
 
     e4 = e_ref[...]  # [BK, TI, N, E]
-    ea = jnp.tanh(_mm4(e4, w0_ref[...]))  # [BK, TI, N, SH*SC] f32
-    ev = jnp.tanh(_mm4(e4, w1_ref[...]))  # [BK, TI, N, H*C] f32
+    ea = _tanh(_mm4(e4, w0_ref[...]))  # [BK, TI, N, SH*SC] f32
+    ev = _tanh(_mm4(e4, w1_ref[...]))  # [BK, TI, N, H*C] f32
 
     q = q_ref[...].astype(f32)  # [BK, TI, SH*SC]
     k = k_ref[...].astype(f32)  # [BK, N, SH*SC]

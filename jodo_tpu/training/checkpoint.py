@@ -99,27 +99,64 @@ class CheckpointManager:
             raise err
 
     # -- rolling preemption checkpoint ------------------------------------
+    # Two alternating slots: `force=True` removes the destination BEFORE
+    # the new write commits, so a single rolling slot loses the resume
+    # point entirely if the process dies mid-save (this happened: a 55k-
+    # step flagship meta checkpoint was destroyed by a kill during the
+    # save, leaving only the .orbax-checkpoint-tmp husk). Writing to the
+    # OLDER of two slots means a complete checkpoint always survives any
+    # crash window. `state` (the legacy single slot) is still read.
+    _META_SLOTS = ("state", "state_b")
+
+    def _complete_meta_paths(self):
+        """Existing COMMITTED meta slots, newest first (Orbax renames the
+        tmp dir only after commit, so a plain dir is a complete save)."""
+        paths = []
+        for slot in self._META_SLOTS:
+            path = os.path.join(self.meta_dir, slot)
+            if os.path.isdir(path) and not path.endswith("-tmp"):
+                paths.append(path)
+        return sorted(paths, key=os.path.getmtime, reverse=True)
+
     def save_meta(self, state):
-        path = os.path.join(self.meta_dir, "state")
-        self._ckptr.save(path, state, force=True)
+        existing = self._complete_meta_paths()
+        if existing:
+            newest = os.path.basename(existing[0])
+            slot = next(s for s in self._META_SLOTS if s != newest)
+        else:
+            slot = self._META_SLOTS[0]
+        self._ckptr.save(os.path.join(self.meta_dir, slot), state, force=True)
         self._ckptr.wait_until_finished()
 
-    def restore_meta(self, state):
-        path = os.path.join(self.meta_dir, "state")
-        if not os.path.exists(path):
-            logging.warning(
-                "No checkpoint found at %s. Returned the same state as input", path
-            )
-            return state
-        return self._ckptr.restore(path, state)
+    def restore_meta(self, state, fallback_numbered: bool = True):
+        """Restore the newest complete meta slot; if none exists (fresh run
+        or a crash destroyed it) optionally fall back to the highest
+        numbered snapshot (divergence from the reference, which only ever
+        reads checkpoints-meta — utils.py:7-20 — but strictly safer)."""
+        paths = self._complete_meta_paths()
+        if paths:
+            return self._ckptr.restore(paths[0], state)
+        if fallback_numbered:
+            nums = self.available_checkpoints()
+            if nums:
+                logging.warning(
+                    "No meta checkpoint under %s; resuming from numbered "
+                    "checkpoint_%d", self.meta_dir, nums[-1],
+                )
+                return self.restore_numbered(state, nums[-1])
+        logging.warning(
+            "No checkpoint found at %s. Returned the same state as input",
+            os.path.join(self.meta_dir, "state"),
+        )
+        return state
 
     def restore_meta_raw(self):
         """Restore the meta checkpoint without a target template (None when
         absent); used for auxiliary artifacts like cached classifiers."""
-        path = os.path.join(self.meta_dir, "state")
-        if not os.path.exists(path):
+        paths = self._complete_meta_paths()
+        if not paths:
             return None
-        return self._ckptr.restore(path)
+        return self._ckptr.restore(paths[0])
 
     # -- numbered snapshots ----------------------------------------------
     def save_numbered(self, state, index: int):

@@ -156,6 +156,56 @@ def test_compact_collate_decode_exact():
                 np.asarray(decoded[k]), dense[k], atol=1e-7, err_msg=k)
 
 
+def test_compact_pack_fast_path_exact():
+    """The pre-tensorised pack fast path returns byte-identical batches to
+    the per-molecule loop, for shuffled subsets and with properties."""
+    from jodo_tpu.data import collate_batch_compact
+    from jodo_tpu.data.core import _collate_compact_loop, _compact_pack
+    from jodo_tpu.data.datasets_info import QM9_WITH_H
+
+    rng = np.random.default_rng(11)
+    mols = []
+    for _ in range(20):
+        n = int(rng.integers(2, 9))
+        src, dst, bt = [], [], []
+        for i in range(n - 1):
+            t = int(rng.integers(1, 5))
+            src += [i, i + 1]
+            dst += [i + 1, i]
+            bt += [t, t]
+        mols.append(dict(
+            atom_type=rng.integers(0, 5, n), fc=rng.integers(-1, 2, n),
+            pos=rng.normal(size=(n, 3)).astype(np.float32),
+            bond_src=src, bond_dst=dst, bond_type=bt,
+        ))
+    data = MolData.from_molecules(mols, QM9_WITH_H)
+    props = rng.normal(size=(20, 1))
+    idx = rng.permutation(20)[:7]
+
+    fast = collate_batch_compact(data, idx, pad_n=12, property_values=props)
+    assert _compact_pack(data, 12) is not None  # fast path engaged
+    slow = _collate_compact_loop(data, idx, 12)
+    slow["n_nodes"] = data.n_nodes[idx].astype(np.int32)
+    slow["context"] = np.asarray(props[idx], np.float32).reshape(7, -1)
+    assert set(fast) == set(slow)
+    for k in fast:
+        np.testing.assert_array_equal(fast[k], slow[k], err_msg=k)
+
+    # over-cap datasets must skip the pack (no cache attribute mutation)
+    import jodo_tpu.data.core as core_mod
+    old_cap = core_mod._PACK_BYTES_CAP
+    try:
+        core_mod._PACK_BYTES_CAP = 10
+        fresh = MolData.from_molecules(mols, QM9_WITH_H)
+        assert _compact_pack(fresh, 12) is None
+        again = collate_batch_compact(fresh, idx, pad_n=12,
+                                      property_values=props)
+        for k in fast:
+            np.testing.assert_array_equal(fast[k], again[k], err_msg=k)
+    finally:
+        core_mod._PACK_BYTES_CAP = old_cap
+
+
 def test_compact_loader_through_prepare():
     """A compact BatchLoader batch flows through decode + prepare into the
     same prepared tensors as the dense path."""

@@ -195,6 +195,51 @@ def test_checkpoint_async_roundtrip(tmp_path):
     )
 
 
+def test_checkpoint_meta_crash_safety(tmp_path):
+    """The rolling meta save alternates between two slots so a crash during
+    a save can never destroy the only resume point (the single-slot scheme
+    removed the destination before the new write committed), and a missing
+    meta falls back to the newest numbered snapshot."""
+    import os
+    import shutil
+
+    from jodo_tpu.training import CheckpointManager
+
+    cfg = tiny_cfg()
+    model = create_model(cfg)
+    tx = make_optimizer(cfg)
+    batch = make_batch(jax.random.PRNGKey(0))
+    params = model.init(
+        jax.random.PRNGKey(1),
+        jnp.full((B,), 0.5), batch["xh"], batch["node_mask"], batch["edge_mask"],
+        batch["edge_x"], jnp.zeros((B,)),
+    )
+    state = TrainState.create(params, tx)
+    mgr = CheckpointManager(str(tmp_path))
+
+    mgr.save_meta(state.replace(step=state.step + 1))  # slot 1, step 1
+    mgr.save_meta(state.replace(step=state.step + 2))  # slot 2, step 2
+    slots = sorted(os.listdir(mgr.meta_dir))
+    assert slots == ["state", "state_b"], slots
+    assert int(mgr.restore_meta(state).step) == 2
+
+    # a third save overwrites the OLDER slot; the newest stays intact the
+    # whole time (simulated crash: delete the slot being written)
+    mgr.save_meta(state.replace(step=state.step + 3))
+    assert int(mgr.restore_meta(state).step) == 3
+    newest = mgr._complete_meta_paths()[0]
+    shutil.rmtree(newest)  # crash destroyed the in-flight slot
+    assert int(mgr.restore_meta(state).step) == 2  # survivor slot restores
+
+    # no meta slots at all -> fall back to the highest numbered snapshot
+    for p in mgr._complete_meta_paths():
+        shutil.rmtree(p)
+    mgr.save_numbered(state.replace(step=state.step + 41), 1)
+    mgr.save_numbered(state.replace(step=state.step + 42), 2)
+    assert int(mgr.restore_meta(state).step) == 42
+    assert int(mgr.restore_meta(state, fallback_numbered=False).step) == 0
+
+
 def test_multi_train_step_matches_sequential():
     """K steps scanned in one dispatch == K sequential single steps with
     the same per-step keys (exact same state pytree)."""
