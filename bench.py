@@ -116,7 +116,11 @@ def _measure_train(cfg_name, batch, pad_n, feat, edge_ch, chunks=6, k=32):
     cfg.data.max_node = pad_n
     cfg.tpu.pad_nodes = pad_n
     cfg.training.batch_size = batch
-    cfg.model.dropout = 0.0
+    # flagship configs train with dropout (reference vpsde_qm9_uncond_
+    # jodo.py:51); benching at dropout 0 overstated it/s by ~20%
+    # (BASELINE.md r3 dropout table). JODO_BENCH_DROPOUT=0 for A/Bs.
+    cfg.model.dropout = float(os.environ.get("JODO_BENCH_DROPOUT",
+                                             cfg.model.dropout))
     cfg.tpu.donate_state = True
     parts = build_training(cfg, synthetic_fallback=True)
     state = init_state(cfg, parts)
@@ -124,7 +128,7 @@ def _measure_train(cfg_name, batch, pad_n, feat, edge_ch, chunks=6, k=32):
     raws = [next(it) for _ in range(k)]
     stacked = {kk: jnp.asarray(np.stack([r[kk] for r in raws]))
                for kk in raws[0]}
-    key = jax.random.PRNGKey(0)
+    key = jax.random.key(0, impl=str(cfg.tpu.train_prng_impl))
     multi = parts["multi_train_step"]
     state, m = multi(state, stacked, key)  # compile
     float(m["loss"])
@@ -165,7 +169,8 @@ def _measure_train_real(cfg_name, batch, pad_n, n_iters=768, spd=32):
     cfg.data.max_node = pad_n
     cfg.tpu.pad_nodes = pad_n
     cfg.training.batch_size = batch
-    cfg.model.dropout = 0.0
+    cfg.model.dropout = float(os.environ.get("JODO_BENCH_DROPOUT",
+                                             cfg.model.dropout))
     cfg.tpu.donate_state = True
     cfg.training.steps_per_dispatch = spd
     cfg.training.n_iters = n_iters

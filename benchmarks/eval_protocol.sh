@@ -29,4 +29,4 @@ python -m jodo_tpu.main $COMMON \
 echo "=== pass 3: eval_pkl re-score of the ancestral pickle ==="
 python -m jodo_tpu.eval_pkl \
   --pkl_path "$WORKDIR/eval/ancestral_ckpt_${CKPT}_42.pkl" \
-  --dataset_name qm9 --type both --sub_geometry
+  --dataset_name qm9 --type both --sub_geometry --allow_synthetic

@@ -159,6 +159,11 @@ def base_config() -> ml_collections.ConfigDict:
     tpu.remat_attn = False
     tpu.mesh_shape = ""  # e.g. '8' or '4,2' ; '' => all local devices, 1-D data mesh
     tpu.donate_state = True
+    # training-loop PRNG implementation: 'rbg' generates dropout masks via
+    # the hardware RNG (threefry costs real step time at the flagship's
+    # ~270M bernoulli draws/step with dropout 0.1); set 'threefry2x32'
+    # for the partitionable default
+    tpu.train_prng_impl = "rbg"
 
     config.seed = 42
     return config

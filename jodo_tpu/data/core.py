@@ -183,12 +183,15 @@ _PACK_BYTES_CAP = int(os.environ.get("JODO_PACK_BYTES_CAP", 512 * 1024 * 1024))
 def _compact_pack(data: MolData, pad_n: int):
     """Per-molecule padded compact arrays, cached on the dataset object.
 
-    Returns dict of [M, ...] arrays (atom_types/charges/bond_code and
-    positions when present) or None when the pack would exceed the memory
-    cap. A batch is then `pack[k][indices]` — identical bytes to the
-    per-molecule loop in collate_batch_compact."""
+    ONE pack is kept, built at the dataset's own max size (>= pad_n), so
+    it serves every bucket pad of a bucketed loader: a pad_n batch is
+    `pack[k][indices][..., :pad_n(, :pad_n)]` — identical bytes to the
+    per-molecule loop, because molecules routed to a pad_n bucket fit in
+    pad_n and their pack rows are zero/-1 beyond their own size. Returns
+    None when the pack would exceed the memory cap."""
     m = len(data.n_nodes)
-    if m * pad_n * pad_n > _PACK_BYTES_CAP:
+    pad_full = max(pad_n, int(data.n_nodes.max(initial=0)))
+    if m * pad_full * pad_full > _PACK_BYTES_CAP:
         return None
     cache = getattr(data, "_compact_packs", None)
     if cache is None:
@@ -197,9 +200,10 @@ def _compact_pack(data: MolData, pad_n: int):
             object.__setattr__(data, "_compact_packs", cache)
         except (AttributeError, TypeError):
             return None  # slotted/frozen containers: no cache, slow path
-    if pad_n not in cache:
-        cache[pad_n] = _collate_compact_loop(data, np.arange(m), pad_n)
-    return cache[pad_n]
+    if not cache or cache["pad"] < pad_full:
+        cache["pad"] = pad_full
+        cache["pack"] = _collate_compact_loop(data, np.arange(m), pad_full)
+    return cache["pack"]
 
 
 def collate_batch_compact(
@@ -242,7 +246,14 @@ def collate_batch_compact(
     # bottleneck (~11.5 vs 15.5 it/s flagship-scale)
     pack = _compact_pack(data, pad_n)
     if pack is not None:
-        batch = {k: v[idx] for k, v in pack.items()}
+        batch = {}
+        for k, v in pack.items():
+            g = v[idx]
+            if k == "bond_code":
+                g = g[:, :pad_n, :pad_n]
+            else:  # atom_types/charges [M,P]; positions [M,P,3]
+                g = g[:, :pad_n]
+            batch[k] = np.ascontiguousarray(g)
         batch["n_nodes"] = sizes.astype(np.int32)
         if property_values is not None:
             batch["context"] = np.asarray(

@@ -77,6 +77,19 @@ def main(argv=None):
     parser.add_argument("--type", default="3D", choices=["3D", "2D", "both"])
     parser.add_argument("--sub_geometry", action="store_true")
     parser.add_argument("--root_path", default="data/")
+    parser.add_argument("--allow_synthetic", action="store_true",
+                        help="score against the deterministic synthetic "
+                        "reference set when the real dataset is absent "
+                        "(matches evaluate() runs with "
+                        "data.allow_synthetic=true; reference-set-dependent "
+                        "metrics — novelty, SNN/Frag/Scaf, FRGD, SA's "
+                        "fitted fragment table — otherwise degrade to "
+                        "None/-1)")
+    parser.add_argument("--synthetic_size", type=int, default=4096)
+    parser.add_argument("--max_node", type=int, default=0,
+                        help="override data.max_node when rebuilding the "
+                        "synthetic reference set (must match the config "
+                        "that produced the pickle for exact agreement)")
     args = parser.parse_args(argv)
 
     if args.dataset_name == "qm9":
@@ -97,7 +110,13 @@ def main(argv=None):
         cfg = get_config("qm9_uncond_jodo" if args.dataset_name == "qm9"
                          else "geom_uncond_jodo")
         cfg.data.root = root
-        train_ds, _, test_ds, _ = get_dataset(cfg, synthetic_fallback=False)
+        if args.allow_synthetic:
+            cfg.data.allow_synthetic = True
+            cfg.data.synthetic_size = args.synthetic_size
+            if args.max_node:
+                cfg.data.max_node = args.max_node
+        train_ds, _, test_ds, _ = get_dataset(
+            cfg, synthetic_fallback=bool(args.allow_synthetic))
         train_mols = _dataset_tuples(train_ds)
         test_tuples = _dataset_tuples(test_ds)
         test_rdmols = _rdmols_or_none(test_ds)

@@ -67,10 +67,15 @@ def _tanh(x):
 
     JODO_ATTN_TANH=exp switches to the algebraically exact identity
     tanh(x) = 1 - 2/(1 + e^{2x}) (one exp + one reciprocal, saturates
-    correctly at +/-inf in f32) for A/B against Mosaic's native tanh
-    lowering."""
-    if os.environ.get("JODO_ATTN_TANH") == "exp":
+    correctly at +/-inf in f32); JODO_ATTN_TANH=bf16 evaluates tanh at
+    bf16 precision (the gates multiply bf16 streams anyway, so the ~3
+    significant digits are preserved end-to-end) — both are A/B knobs
+    against Mosaic's native f32 tanh lowering."""
+    mode = os.environ.get("JODO_ATTN_TANH")
+    if mode == "exp":
         return 1.0 - 2.0 / (1.0 + jnp.exp(2.0 * x))
+    if mode == "bf16":
+        return jnp.tanh(x.astype(jnp.bfloat16)).astype(jnp.float32)
     return jnp.tanh(x)
 
 

@@ -270,7 +270,14 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
         shuffle=False,
     ) if len(val_ds) > 0 else None
 
-    key = jax.random.PRNGKey(config.seed)
+    # rbg keys route dropout-mask generation through the hardware RNG:
+    # at dropout 0.1 the edge-FFN masks alone are ~270M bernoulli draws
+    # per flagship step ([B,N,N,128] x2 x8 layers), and threefry for that
+    # volume costs real step time on TPU. rbg is a counter-based
+    # generator too (reproducible from the seed); distribution-level
+    # parity with the torch reference is unaffected.
+    impl = str(config.tpu.get("train_prng_impl", "rbg") or "threefry2x32")
+    key = jax.random.key(config.seed, impl=impl)
     key = jax.random.fold_in(key, initial_step)
     timer = StepTimer()
     from .data import BucketedLoader as _BucketedLoader

@@ -92,3 +92,25 @@ def test_eval_pkl_rescore_agreement(trained, evaluated):
         assert rescored["2D"][key] == pytest.approx(res[f"2D_{key}"])
     assert rescored["3D"]["Validity"] == pytest.approx(res["3D_Validity"])
     assert rescored["2D"]["Validity"] == pytest.approx(res["2D_Validity"])
+
+
+def test_eval_pkl_allow_synthetic_full_agreement(trained, evaluated):
+    """--allow_synthetic rebuilds the deterministic synthetic reference set
+    so the reference-set-dependent metrics (FRGD, SNN, SA's fitted
+    fragment table, novelty) agree with evaluate()'s too — without it they
+    degrade to None/-1 (the real-dataset CLI never silently substitutes
+    synthetic data)."""
+    from jodo_tpu import eval_pkl
+
+    cfg, tmp, _, _ = trained
+    res = evaluated[1]
+    pkl = str(tmp / "eval" / "ancestral_ckpt_1_42.pkl")
+    rescored = eval_pkl.main([
+        "--pkl_path", pkl, "--type", "both", "--allow_synthetic",
+        "--synthetic_size", str(int(cfg.data.synthetic_size)),
+        "--max_node", str(int(cfg.data.max_node)),
+    ])
+    assert rescored["3D"]["FCD"] == pytest.approx(res["FCD"])
+    assert rescored["3D"]["SNN"] == pytest.approx(res["SNN"])
+    assert rescored["3D"]["SA"] == pytest.approx(res["SA"])
+    assert rescored["2D"]["Novelty"] == pytest.approx(res["2D_Novelty"])
