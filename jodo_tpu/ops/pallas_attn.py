@@ -76,6 +76,18 @@ def _tanh(x):
         return 1.0 - 2.0 / (1.0 + jnp.exp(2.0 * x))
     if mode == "bf16":
         return jnp.tanh(x.astype(jnp.bfloat16)).astype(jnp.float32)
+    if mode == "pade":
+        # clamped depth-3 continued fraction (Pade(5/4)):
+        # tanh(x) ~= x(945 + 105x^2 + x^4) / (945 + 420x^2 + 15x^4),
+        # clipped to [-1, 1] outside |x|<=4. Max |err| 1.36e-3 over R —
+        # under one bf16 rounding (eps 2^-8 = 3.9e-3), and the gate
+        # multiplies bf16 value streams. Runs at VPU multiply-add (+one
+        # divide) rate: no transcendental-unit issue at all.
+        xc = jnp.clip(x, -4.0, 4.0)
+        x2 = xc * xc
+        x4 = x2 * x2
+        t = xc * (945.0 + 105.0 * x2 + x4) / (945.0 + 420.0 * x2 + 15.0 * x4)
+        return jnp.clip(t, -1.0, 1.0)
     return jnp.tanh(x)
 
 

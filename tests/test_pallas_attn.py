@@ -56,3 +56,31 @@ def test_fused_tile_sizes():
         np.asarray(layer_ref.apply(params, h, e, em)),
         atol=2e-5, rtol=2e-5,
     )
+
+
+def test_tanh_pade_knob(monkeypatch):
+    """JODO_ATTN_TANH=pade: the clamped Pade(5/4) rational stays within
+    one bf16 rounding of true tanh pointwise, and the fused layer output
+    stays within bf16-stream tolerance of the exact-tanh kernel."""
+    monkeypatch.setenv("JODO_ATTN_TANH", "pade")
+    from jodo_tpu.ops.pallas_attn import _tanh
+
+    x = jnp.linspace(-10.0, 10.0, 4001)
+    assert float(jnp.max(jnp.abs(_tanh(x) - jnp.tanh(x)))) < 4e-3
+
+    heads = 8
+    layer = DenseTransMixLayer(node_dim=D, heads=heads, extra_heads=2,
+                               softmax_inf=True, use_pallas=True)
+    nm, em = masks_from_counts(jnp.asarray([10, 16, 5]), N)
+    h = jax.random.normal(jax.random.PRNGKey(0), (B, N, D))
+    e = jax.random.normal(jax.random.PRNGKey(1), (B, N, N, 32))
+    e = 0.5 * (e + jnp.swapaxes(e, 1, 2))
+    extra = (jax.random.uniform(jax.random.PRNGKey(2), (B, N, N, 2))
+             > 0.5).astype(jnp.float32) * em[..., None]
+    params = layer.init(jax.random.PRNGKey(3), h, e, em, extra)
+    out_pade = layer.apply(params, h, e, em, extra)
+    monkeypatch.delenv("JODO_ATTN_TANH")
+    out_exact = layer.apply(params, h, e, em, extra)
+    np.testing.assert_allclose(
+        np.asarray(out_pade), np.asarray(out_exact), atol=2e-2, rtol=2e-2
+    )
