@@ -36,6 +36,7 @@ from .layers import (
     TimeMLP,
     layer_norm,
     modulate,
+    _silu,
 )
 
 
@@ -137,7 +138,7 @@ class EquivariantCoordUpdate(nn.Module):
             g = layer_norm(inp)
             g = modulate(g, shift, scale)
             g = g @ w_c0.astype(dt) + b_c0.astype(dt)
-            g = nn.silu(g)
+            g = _silu(g)
             # final gate-head matmul decomposed into per-head lane
             # reductions: a [B,N,N,1+extra] output pads its 1-3 lanes to
             # 128 on TPU (~40x HBM inflation; its producer+consumer
@@ -276,7 +277,7 @@ class EquivariantCoordUpdate(nn.Module):
         out = (pre * rstd[..., None]
                + (v[:, None, None, :]
                   - (rstd * mu)[..., None] * u[:, None, None, :]))
-        g = nn.silu(out)  # f32, fused into the gate reductions below
+        g = _silu(out)  # f32, fused into the gate reductions below
         return self._gate_heads(g, w_c1.astype(f32), extra_adj)
 
 
@@ -1004,9 +1005,9 @@ class DGT(nn.Module):
         acc = acc + bias.astype(dt)
 
         def tail(x, out_dim, name):
-            y = nn.silu(x)
+            y = _silu(x)
             y = nn.Dense(edge_hidden // 2, dtype=dt, name=f"{name}_1")(y)
-            y = nn.silu(y)
+            y = _silu(y)
             return nn.Dense(out_dim, dtype=dt, name=f"{name}_2")(y)
 
         eh = edge_hidden

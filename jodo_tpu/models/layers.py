@@ -274,6 +274,23 @@ class DenseTransMixLayer(nn.Module):
         return out.reshape(b, n, heads * out_ch)
 
 
+def _silu(x):
+    """silu for the per-pair gate/FFN tensors (the XLA-side share of the
+    ~780M transcendentals/step; see BASELINE.md r3 floor analysis).
+
+    JODO_SILU=pade evaluates the logistic through the clamped Pade(5/4)
+    tanh rational (sigmoid(x) = (1+tanh(x/2))/2, max |err| 7e-4 — under
+    one bf16 rounding): pure VPU multiply-add (+one divide), no
+    transcendental-unit issue. A/B knob; exact nn.silu by default."""
+    if _env.environ.get("JODO_SILU") == "pade":
+        xh = jnp.clip(0.5 * x, -4.0, 4.0)
+        x2 = xh * xh
+        x4 = x2 * x2
+        t = xh * (945.0 + 105.0 * x2 + x4) / (945.0 + 420.0 * x2 + 15.0 * x4)
+        return x * (0.5 + 0.5 * jnp.clip(t, -1.0, 1.0))
+    return nn.silu(x)
+
+
 class GatedFFN(nn.Module):
     """Two-layer FFN with dropout (the _ff_block of the reference blocks)."""
 
@@ -296,7 +313,7 @@ class GatedFFN(nn.Module):
         if flat:
             x = x.reshape(-1, shape[-1])
         y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype)(x)
-        y = nn.silu(y)
+        y = _silu(y)  # pair FFNs are a transcendental hot spot
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         y = nn.Dense(self.dim, dtype=self.dtype)(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)

@@ -84,3 +84,15 @@ def test_tanh_pade_knob(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out_pade), np.asarray(out_exact), atol=2e-2, rtol=2e-2
     )
+
+
+def test_silu_pade_knob(monkeypatch):
+    """JODO_SILU=pade stays within one bf16 rounding of exact silu."""
+    from jodo_tpu.models.layers import _silu
+
+    x = jnp.linspace(-12.0, 12.0, 4001)
+    exact = x * jax.nn.sigmoid(x)
+    monkeypatch.setenv("JODO_SILU", "pade")
+    # relative-to-|x| error: silu ~ x at +inf, so compare sigmoids
+    assert float(jnp.max(jnp.abs(_silu(x) - exact) /
+                         jnp.maximum(jnp.abs(x), 1.0))) < 1e-3
