@@ -1,9 +1,19 @@
 """Headline benchmark: molecule sampling throughput through the PRODUCTION
 sampling path (bucketed pad ladder + per-bucket batch sizing), plus MFU.
 
-Prints ONE JSON line:
+Prints the headline JSON line IMMEDIATELY after the qm9@1000 block and
+re-prints the (enriched) line after every subsequent block, so a kill at
+any point still leaves a parseable headline as the last stdout JSON line:
   {"metric": "qm9_sampling_mols_per_sec", "value": ..., "unit": "mols/sec",
-   "vs_baseline": ..., "extra": {qm9/geom details incl. mfu}}
+   "vs_baseline": ..., "extra": {qm9/train/geom details incl. mfu,
+   "skipped_blocks": [...]}}
+
+A wall-clock budget (JODO_BENCH_BUDGET_S, default 420 s) gates every block
+after the headline: a block only starts if its cost estimate fits in the
+remaining budget; skipped blocks are listed in extra["skipped_blocks"]
+with the reason. This is the VERDICT r3 "un-killable bench" contract —
+the r3 bench had one all-or-nothing print and was timed out by the driver
+(BENCH_r03.json rc=124, parsed=null).
 
 Protocol (matching the reference, README.md:142/162: QM9 batch 2500 on one
 GPU, 1000 ancestral steps): sample JODO_BENCH_SAMPLES molecules end-to-end
@@ -16,7 +26,10 @@ dgt_forward_flops, validated vs XLA cost analysis) / wall time / peak.
 
 Env knobs: JODO_BENCH_BATCH (base, default 128), JODO_BENCH_STEPS (1000),
 JODO_BENCH_SAMPLES (512), JODO_BENCH_DTYPE, JODO_BENCH_PALLAS,
-JODO_BENCH_GEOM=0 to skip the GEOM section.
+JODO_BENCH_BUDGET_S, JODO_BENCH_GEOM=0 / JODO_BENCH_FAST=0 /
+JODO_BENCH_TRAIN_REAL=0 to skip sections, JODO_BENCH_TRAIN_RESIDENT=1 to
+add the resident-batch A/B diagnostic (NOT a headline — it re-uses one
+on-device batch and overstates the real loop; see BASELINE.md r3).
 """
 
 from __future__ import annotations
@@ -196,45 +209,79 @@ def _measure_train_real(cfg_name, batch, pad_n, n_iters=768, spd=32):
 
 
 def main():
+    import sys
+
     from jodo_tpu.data.datasets_info import GEOM_WITH_H_1, QM9_WITH_H
 
     batch = int(os.environ.get("JODO_BENCH_BATCH", "128"))
     steps = int(os.environ.get("JODO_BENCH_STEPS", "1000"))
     n_samples = int(os.environ.get("JODO_BENCH_SAMPLES", "512"))
+    budget_s = float(os.environ.get("JODO_BENCH_BUDGET_S", "420"))
+    t_start = time.perf_counter()
 
     qm9 = _measure("qm9_uncond_jodo", QM9_WITH_H, batch, steps, n_samples,
                    feat=9, edge_ch=2, pad_n=32)
 
-    extra = {"qm9@1000": qm9}
+    extra = {"qm9@1000": qm9, "skipped_blocks": []}
 
-    if os.environ.get("JODO_BENCH_FAST", "1") == "1":
+    # Anchor bracket (BASELINE.md r2 derivation): the conservative anchor
+    # deliberately over-credits the A100 PyTorch reference at 10 mols/s;
+    # the analytic FLOPs/roofline derivation brackets it at 1.8-5 mols/s
+    # (central 4). vs_baseline keeps the conservative anchor; the derived
+    # central anchor is reported alongside.
+    baseline = float(os.environ.get("JODO_BASELINE_MOLS_PER_SEC", "10.0"))
+    derived = float(os.environ.get("JODO_BASELINE_DERIVED", "4.0"))
+
+    def emit():
+        # Re-printed after every block; the LAST JSON line is the record.
+        print(json.dumps({
+            "metric": "qm9_sampling_mols_per_sec",
+            "value": qm9["mols_per_sec"],
+            "unit": "mols/sec",
+            "vs_baseline": round(qm9["mols_per_sec"] / baseline, 3),
+            "vs_baseline_derived": round(qm9["mols_per_sec"] / derived, 3),
+            "extra": extra,
+        }))
+        sys.stdout.flush()
+
+    emit()  # headline is on stdout NOW — later kills cannot erase it
+
+    def run_block(name, est_cost_s, enabled, fn):
+        if not enabled:
+            extra["skipped_blocks"].append(
+                {"block": name, "reason": "disabled by env"})
+            emit()
+            return
+        remaining = budget_s - (time.perf_counter() - t_start)
+        if remaining < est_cost_s:
+            extra["skipped_blocks"].append(
+                {"block": name, "reason": "budget",
+                 "remaining_s": round(remaining, 1),
+                 "est_cost_s": est_cost_s})
+            emit()
+            return
+        try:
+            extra[name] = fn()
+        except Exception as exc:  # keep the headline metric robust
+            extra[name] = {"error": f"{type(exc).__name__}: {exc}"}
+        emit()
+
+    def _fast():
         # DPM-Solver hybrid at 50 steps (reference README.md:145: "great
         # results from 1000 steps to 50"); quality at 50 steps is tracked
         # in BASELINE.md quality tables
-        fast = _measure("qm9_uncond_jodo", QM9_WITH_H, batch,
+        return _measure("qm9_uncond_jodo", QM9_WITH_H, batch,
                         int(os.environ.get("JODO_BENCH_FAST_STEPS", "50")),
                         n_samples, feat=9, edge_ch=2, pad_n=32,
                         method="fast", dpm_order=3)
-        extra["qm9@50_fast"] = fast
 
-    if os.environ.get("JODO_BENCH_TRAIN", "1") == "1":
-        try:
-            extra["qm9_train"] = _measure_train(
-                "qm9_uncond_jodo", 128, 32, feat=9, edge_ch=2)
-        except Exception as exc:  # keep the headline metric robust
-            extra["qm9_train"] = {"error": f"{type(exc).__name__}: {exc}"}
+    def _train_real():
+        return _measure_train_real(
+            "qm9_uncond_jodo", 128, 32,
+            n_iters=int(os.environ.get("JODO_BENCH_TRAIN_REAL_ITERS",
+                                       "256")))
 
-    if os.environ.get("JODO_BENCH_TRAIN_REAL", "1") == "1":
-        try:
-            extra["qm9_train_real"] = _measure_train_real(
-                "qm9_uncond_jodo", 128, 32,
-                n_iters=int(os.environ.get("JODO_BENCH_TRAIN_REAL_ITERS",
-                                           "768")))
-        except Exception as exc:  # keep the headline metric robust
-            extra["qm9_train_real"] = {
-                "error": f"{type(exc).__name__}: {exc}"}
-
-    if os.environ.get("JODO_BENCH_GEOM", "1") == "1":
+    def _geom():
         geom_batch = max(8, batch // 8)
         geom_samples = max(32, n_samples // 8)
         geom = _measure(
@@ -248,23 +295,24 @@ def main():
         geom["vs_baseline_at_1000"] = round(
             geom["mols_per_sec"] * geom["steps"] / 1000.0 / geom_baseline, 3
         )
-        extra["geom"] = geom
+        return geom
 
-    # Anchor bracket (BASELINE.md r2 derivation): the conservative anchor
-    # deliberately over-credits the A100 PyTorch reference at 10 mols/s;
-    # the analytic FLOPs/roofline derivation brackets it at 1.8-5 mols/s
-    # (central 4). vs_baseline keeps the conservative anchor; the derived
-    # central anchor is reported alongside.
-    baseline = float(os.environ.get("JODO_BASELINE_MOLS_PER_SEC", "10.0"))
-    derived = float(os.environ.get("JODO_BASELINE_DERIVED", "4.0"))
-    print(json.dumps({
-        "metric": "qm9_sampling_mols_per_sec",
-        "value": qm9["mols_per_sec"],
-        "unit": "mols/sec",
-        "vs_baseline": round(qm9["mols_per_sec"] / baseline, 3),
-        "vs_baseline_derived": round(qm9["mols_per_sec"] / derived, 3),
-        "extra": extra,
-    }))
+    def _train_resident():
+        # A/B DIAGNOSTIC ONLY: re-uses one on-device batch, so it
+        # overstates the real loop (VERDICT r2 weak #6 / r3 weak #6);
+        # qm9_train_real is the train headline.
+        return _measure_train("qm9_uncond_jodo", 128, 32, feat=9, edge_ch=2)
+
+    run_block("qm9@50_fast", 30,
+              os.environ.get("JODO_BENCH_FAST", "1") == "1", _fast)
+    run_block("qm9_train_real", 90,
+              os.environ.get("JODO_BENCH_TRAIN_REAL", "1") == "1",
+              _train_real)
+    run_block("geom", 150,
+              os.environ.get("JODO_BENCH_GEOM", "1") == "1", _geom)
+    run_block("qm9_train_resident_ab", 60,
+              os.environ.get("JODO_BENCH_TRAIN_RESIDENT", "0") == "1",
+              _train_resident)
 
 
 if __name__ == "__main__":

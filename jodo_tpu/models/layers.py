@@ -243,9 +243,13 @@ class DenseTransMixLayer(nn.Module):
         q = q.reshape(b, n, sub_heads, sub_ch)
         k = k.reshape(b, n, sub_heads, sub_ch)
         v = v.reshape(b, n, heads, out_ch)
-        ea = jnp.tanh(edge_attr.astype(dt) @ w0.astype(dt))
+        # knob-aware gates (JODO_ATTN_TANH, trace-time) so this inline
+        # training core matches the Pallas/VJP paths under any knob
+        from ..ops.transcendental import attn_tanh
+
+        ea = attn_tanh(edge_attr.astype(dt) @ w0.astype(dt))
         ea = ea.reshape(b, n, n, sub_heads, sub_ch)
-        ev = jnp.tanh(edge_attr.astype(dt) @ w1.astype(dt))
+        ev = attn_tanh(edge_attr.astype(dt) @ w1.astype(dt))
         ev = ev.reshape(b, n, n, heads, out_ch)
 
         # logits over neighbours j for target i (f32 accumulation)
@@ -278,16 +282,16 @@ def _silu(x):
     """silu for the per-pair gate/FFN tensors (the XLA-side share of the
     ~780M transcendentals/step; see BASELINE.md r3 floor analysis).
 
-    JODO_SILU=pade evaluates the logistic through the clamped Pade(5/4)
-    tanh rational (sigmoid(x) = (1+tanh(x/2))/2, max |err| 7e-4 — under
-    one bf16 rounding): pure VPU multiply-add (+one divide), no
-    transcendental-unit issue. A/B knob; exact nn.silu by default."""
+    JODO_SILU=pade (read at TRACE time — set before the first compile)
+    evaluates the logistic through the shared clamped Pade(5/4) rational
+    (ops/transcendental.pade_sigmoid): sigmoid max |err| <= 7e-4; the
+    resulting silu has max ABSOLUTE err ~5e-3 near |x|~7.3 but relative
+    err <= ~7e-4, under one bf16 rounding of the result. Pure VPU
+    multiply-add (+one divide). A/B knob; exact nn.silu by default."""
     if _env.environ.get("JODO_SILU") == "pade":
-        xh = jnp.clip(0.5 * x, -4.0, 4.0)
-        x2 = xh * xh
-        x4 = x2 * x2
-        t = xh * (945.0 + 105.0 * x2 + x4) / (945.0 + 420.0 * x2 + 15.0 * x4)
-        return x * (0.5 + 0.5 * jnp.clip(t, -1.0, 1.0))
+        from ..ops.transcendental import pade_sigmoid
+
+        return x * pade_sigmoid(x)
     return nn.silu(x)
 
 

@@ -39,8 +39,15 @@ __all__ = ["edge_attention"]
 
 
 def _gates(e, w0, w1):
-    ea = jnp.tanh(e @ w0)
-    ev = jnp.tanh(e @ w1)
+    """Gate tensors, knob-aware (JODO_ATTN_TANH via ops/transcendental)
+    so forward + backward-recompute agree with the Pallas forward under
+    any knob. The backward's gate derivative keeps the exact-tanh form
+    (1 - ea^2): exact for mode 'exp', first-order consistent (~1e-3) for
+    'pade'/'bf16' — acceptable for A/B perf runs; unset = exact."""
+    from .transcendental import attn_tanh
+
+    ea = attn_tanh(e @ w0)
+    ev = attn_tanh(e @ w1)
     return ea, ev
 
 

@@ -63,32 +63,13 @@ def _mm4(x, w):
 
 def _tanh(x):
     """tanh for the gate tensors — the kernel's VPU bottleneck (~520M
-    evaluations/step at QM9 sampling scale).
+    evaluations/step at QM9 sampling scale). Knob-aware (JODO_ATTN_TANH,
+    trace-time; see ops/transcendental.py for modes and error bounds) and
+    shared with the jnp fallback + custom-VJP backward so the forward is
+    path-independent under any knob setting (ADVICE r3 #1)."""
+    from .transcendental import attn_tanh
 
-    JODO_ATTN_TANH=exp switches to the algebraically exact identity
-    tanh(x) = 1 - 2/(1 + e^{2x}) (one exp + one reciprocal, saturates
-    correctly at +/-inf in f32); JODO_ATTN_TANH=bf16 evaluates tanh at
-    bf16 precision (the gates multiply bf16 streams anyway, so the ~3
-    significant digits are preserved end-to-end) — both are A/B knobs
-    against Mosaic's native f32 tanh lowering."""
-    mode = os.environ.get("JODO_ATTN_TANH")
-    if mode == "exp":
-        return 1.0 - 2.0 / (1.0 + jnp.exp(2.0 * x))
-    if mode == "bf16":
-        return jnp.tanh(x.astype(jnp.bfloat16)).astype(jnp.float32)
-    if mode == "pade":
-        # clamped depth-3 continued fraction (Pade(5/4)):
-        # tanh(x) ~= x(945 + 105x^2 + x^4) / (945 + 420x^2 + 15x^4),
-        # clipped to [-1, 1] outside |x|<=4. Max |err| 1.36e-3 over R —
-        # under one bf16 rounding (eps 2^-8 = 3.9e-3), and the gate
-        # multiplies bf16 value streams. Runs at VPU multiply-add (+one
-        # divide) rate: no transcendental-unit issue at all.
-        xc = jnp.clip(x, -4.0, 4.0)
-        x2 = xc * xc
-        x4 = x2 * x2
-        t = xc * (945.0 + 105.0 * x2 + x4) / (945.0 + 420.0 * x2 + 15.0 * x4)
-        return jnp.clip(t, -1.0, 1.0)
-    return jnp.tanh(x)
+    return attn_tanh(x)
 
 
 def _attn_kernel(

@@ -96,3 +96,27 @@ def test_silu_pade_knob(monkeypatch):
     # relative-to-|x| error: silu ~ x at +inf, so compare sigmoids
     assert float(jnp.max(jnp.abs(_silu(x) - exact) /
                          jnp.maximum(jnp.abs(x), 1.0))) < 1e-3
+
+
+def test_knob_path_independence(monkeypatch):
+    """ADVICE r3 #1: under any JODO_ATTN_TANH knob the fused-Pallas and
+    jnp-fallback forwards agree to dispatch-path tolerance — the knob is
+    routed through the single ops/transcendental.attn_tanh used by every
+    path (Pallas forward, jnp fallback, custom-VJP backward recompute)."""
+    heads = 8
+    nm, em = masks_from_counts(jnp.asarray([10, 16, 5]), N)
+    h = jax.random.normal(jax.random.PRNGKey(0), (B, N, D))
+    e = jax.random.normal(jax.random.PRNGKey(1), (B, N, N, 32))
+    e = 0.5 * (e + jnp.swapaxes(e, 1, 2))
+    layer_f = DenseTransMixLayer(node_dim=D, heads=heads, extra_heads=0,
+                                 use_pallas=True)
+    layer_j = DenseTransMixLayer(node_dim=D, heads=heads, extra_heads=0,
+                                 use_pallas=False)
+    params = layer_f.init(jax.random.PRNGKey(3), h, e, em)
+    for mode in ("pade", "exp"):
+        monkeypatch.setenv("JODO_ATTN_TANH", mode)
+        np.testing.assert_allclose(
+            np.asarray(layer_f.apply(params, h, e, em)),
+            np.asarray(layer_j.apply(params, h, e, em)),
+            atol=1e-4, rtol=1e-4,
+        )
