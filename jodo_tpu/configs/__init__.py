@@ -5,7 +5,12 @@ from .base import base_config, pad_nodes
 
 def qm9_uncond_jodo():
     """Joint 2D+3D JODO on QM9 (reference: configs/vpsde_qm9_uncond_jodo.py)."""
-    return base_config()
+    c = base_config()
+    # train-side pad ladder matching the sampler's (VERDICT r3 task #3):
+    # ~50% of QM9 molecules fit pad 20; flat pad 32 wastes ~60% of the
+    # N^2 pair FLOPs on padding
+    c.training.bucket_pads = "16,20,24,32"
+    return c
 
 
 def geom_uncond_jodo():
@@ -44,6 +49,7 @@ def qm9_cond_jodo():
     c.data.info_name = "qm9_second_half"
     c.model.name = "CondDGT"
     c.model.cond_ch = 1
+    c.training.bucket_pads = "16,20,24,32"  # same ladder as qm9_uncond
     c.training.n_iters = 2000000
     c.eval.begin_ckpt = 40
     c.eval.end_ckpt = 40

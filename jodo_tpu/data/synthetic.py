@@ -228,6 +228,20 @@ def chemical_synthetic_dataset(
     enc = {s: i for i, s in enumerate(info["atom_decoder"])}
     cap = max_nodes or info["max_n_nodes"]
 
+    # GEOM-scale infos (cap > 32): draw the TARGET size from the real
+    # train_n_nodes histogram so synthetic benchmarks see the dataset's
+    # true size distribution (p50 ~44, p99 ~73 for GEOM) — the r3 GEOM
+    # bucketed A/B unknowingly ran every molecule at <=27 atoms because
+    # n_heavy was capped at 9 below (BASELINE.md r4 correction). QM9-scale
+    # infos keep the original draw: the deterministic synthetic reference
+    # set (eval_pkl --allow_synthetic, flagship checkpoints) must not move.
+    size_probs = None
+    if cap > 32 and info.get("train_n_nodes"):
+        hist = info["train_n_nodes"]
+        size_vals = np.array([s for s in sorted(hist) if s <= cap])
+        size_probs = np.array([hist[s] for s in size_vals], np.float64)
+        size_probs /= size_probs.sum()
+
     thresholds = None
     if verify_stability:
         from ..evaluation.bond_analyze import build_threshold_matrices
@@ -240,7 +254,13 @@ def chemical_synthetic_dataset(
     attempts = 0
     while len(mols) < num_mols and attempts < num_mols * 20:
         attempts += 1
-        n_heavy = int(rng.integers(2, max(3, min(9, cap // 3 + 1))))
+        if size_probs is not None:
+            # total atoms ~= 2.35 x heavy atoms for this generator's
+            # chemistry (measured H fill of free valences)
+            target_n = int(rng.choice(size_vals, p=size_probs))
+            n_heavy = max(2, int(round(target_n / 2.35)))
+        else:
+            n_heavy = int(rng.integers(2, max(3, min(9, cap // 3 + 1))))
         syms, order, free = _sample_graph(rng, n_heavy)
         # attach hydrogens to exactly fill every free valence
         h_of = []

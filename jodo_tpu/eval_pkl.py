@@ -153,10 +153,17 @@ def main(argv=None):
         results["3D"] = {**stab, **rd, **mose_res}
         if args.sub_geometry and test_tuples is not None:
             geo = get_sub_geometry_metric(test_tuples, info, root)(samples)
-            print("Metric-Align || Bond Length MMD: %.4f, Bond Angle MMD: %.4f,"
-                  " Dihedral Angle MMD: %.6f" % (
-                      geo["bond_length_mean"], geo["bond_angle_mean"],
-                      geo["dihedral_angle_mean"]))
+
+            def _fmt(v, spec):
+                # class means are None when every class was skipped
+                # (empty gen/tar value sets — see compute_geo_mmd)
+                return ("None" if v is None else format(v, spec))
+
+            print("Metric-Align || Bond Length MMD: %s, Bond Angle MMD: %s,"
+                  " Dihedral Angle MMD: %s" % (
+                      _fmt(geo["bond_length_mean"], ".4f"),
+                      _fmt(geo["bond_angle_mean"], ".4f"),
+                      _fmt(geo["dihedral_angle_mean"], ".6f")))
             results["3D"].update(geo)
 
     if args.type in ("2D", "both"):

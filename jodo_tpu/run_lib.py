@@ -581,6 +581,15 @@ def evaluate(config, workdir: str, eval_folder: str = "eval"):
         res = {"mols_per_sec": len(mols) / elapsed}
         if info.get("synthetic"):
             res["data"] = "synthetic"  # provenance: fallback dataset
+            # Unique/Novelty against a small synthetic train set have a
+            # hard ceiling by construction (a generator that nails a
+            # 4k-mol distribution must repeat itself when drawing 10k);
+            # stamp the caveat in the results dict itself, not just in
+            # BASELINE.md prose (VERDICT r3 task #7)
+            res["unique_novelty_caveat"] = (
+                "synthetic train set of %d mols: Unique/Novelty are "
+                "capped by construction and not comparable to real-"
+                "dataset numbers" % len(train_mols))
 
         if config.only_2D:
             stab, rd, rdmols = edm_metric_2d(mols)

@@ -167,3 +167,30 @@ def test_sub_geometry_metric(tmp_path):
     # identical distributions -> ~0 MMD on present symbols
     assert abs(res["C1C"]) < 1e-6
     assert "bond_length_mean" in res and "dihedral_angle_mean" in res
+
+
+def test_sub_geometry_metric_empty_class(tmp_path):
+    """VERDICT r3 task #7: a substructure class with an empty generated or
+    target value set reports None + a skipped-reason entry (never a bare
+    NaN), per-class counts are emitted, and the class mean averages only
+    the scored classes."""
+    rng = np.random.default_rng(0)
+    mols = []
+    for _ in range(4):
+        pos, at, et, fc = _ethanol_like()
+        mols.append((pos + rng.normal(scale=0.02, size=pos.shape), at, et, fc))
+    # N-containing classes can never appear in an ethanol-only set
+    info = dict(QM9_WITH_H)
+    info["top_bond_sym"] = ["C1C", "N1C"]
+    metric = get_sub_geometry_metric(mols, info, str(tmp_path))
+    res = metric(mols)
+    assert res["N1C"] is None
+    assert "N1C" in res["bond_length_mean_skipped"]
+    assert res["bond_length_mean_counts"]["N1C"] == [0, 0]
+    assert res["bond_length_mean_counts"]["C1C"][0] > 0
+    # mean over scored classes only — and never NaN
+    assert res["bond_length_mean"] is not None
+    assert np.isfinite(res["bond_length_mean"])
+    for v in res.values():
+        if isinstance(v, float):
+            assert not np.isnan(v)
