@@ -129,6 +129,7 @@ def _measure_train(cfg_name, batch, pad_n, feat, edge_ch, chunks=6, k=32):
     cfg.data.max_node = pad_n
     cfg.tpu.pad_nodes = pad_n
     cfg.training.batch_size = batch
+    cfg.training.bucket_pads = ""  # resident A/B: one flat pad
     # flagship configs train with dropout (reference vpsde_qm9_uncond_
     # jodo.py:51); benching at dropout 0 overstated it/s by ~20%
     # (BASELINE.md r3 dropout table). JODO_BENCH_DROPOUT=0 for A/Bs.

@@ -23,6 +23,7 @@ def main():
     cfg.data.allow_synthetic = True
     cfg.model.dropout = 0.0
     cfg.tpu.donate_state = True
+    cfg.training.bucket_pads = ""  # flat pad: this probe feeds resident batches
     parts = build_training(cfg, synthetic_fallback=True)
     state0 = init_state(cfg, parts)
     it = parts["loader"].infinite()

@@ -33,6 +33,7 @@ def measure(label, dropout, impl, k=8, chunks=4):
     cfg.data.allow_synthetic = True
     cfg.model.dropout = dropout
     cfg.tpu.donate_state = True
+    cfg.training.bucket_pads = ""  # flat pad: this probe feeds resident batches
     parts = build_training(cfg, synthetic_fallback=True)
     state = init_state(cfg, parts)
     it = parts["loader"].infinite()

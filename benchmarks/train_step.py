@@ -23,6 +23,7 @@ def main():
     from jodo_tpu.configs import get_config
 
     cfg = get_config("qm9_uncond_jodo")
+    cfg.training.bucket_pads = ""  # flat pad: this probe feeds resident batches
     cfg.data.allow_synthetic = True
     cfg.model.dropout = 0.0
     cfg.tpu.compute_dtype = os.environ.get("JODO_TRAIN_DTYPE", "float32")

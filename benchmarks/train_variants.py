@@ -30,6 +30,7 @@ def measure(dtype, remat, k=8, chunks=4):
     cfg.data.allow_synthetic = True
     cfg.model.dropout = 0.0
     cfg.tpu.donate_state = True
+    cfg.training.bucket_pads = ""  # flat pad: this probe feeds resident batches
     cfg.tpu.compute_dtype = dtype
     cfg.tpu.remat_attn = remat
     parts = build_training(cfg, synthetic_fallback=True)

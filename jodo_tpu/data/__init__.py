@@ -96,6 +96,13 @@ def get_dataset(config, synthetic_fallback: bool = False, synthetic_size: int = 
             data = chemical_synthetic_dataset(
                 config.data.info_name, num_mols=synthetic_size,
                 max_nodes=int(config.data.max_node))
+        elif kind == "chemical":
+            # 2D datasets (ZINC/MOSES convention): valence-exact heavy-
+            # atom graphs, implicit hydrogens, no 3D embedding — gives the
+            # 2D metric stack a real 100%-valid ceiling
+            data = chemical_synthetic_dataset(
+                config.data.info_name, num_mols=synthetic_size,
+                max_nodes=int(config.data.max_node), embed_3d=False)
         else:
             data = synthetic_dataset(
                 config.data.info_name, num_mols=synthetic_size,

@@ -218,15 +218,27 @@ def chemical_synthetic_dataset(
     num_props: int = 19,
     max_nodes: int = 0,
     verify_stability: bool = True,
+    add_hydrogens: Optional[bool] = None,
+    embed_3d: bool = True,
 ) -> MolData:
     """Valence-exact molecules with table-accurate 3D geometry (module
     docstring). Properties y are real descriptor values (MW, TPSA-like
     polar-atom count, logP, heavy-atom count, ...) so conditional
-    training/eval have learnable targets."""
+    training/eval have learnable targets.
+
+    `add_hydrogens=False` keeps the heavy-atom graph only — the
+    ZINC/MOSES convention (their atom_decoders carry no 'H'; free
+    valences are implicit hydrogens). Defaults to whether the info's
+    decoder contains 'H'. `embed_3d=False` skips the distance-geometry
+    embedding (pos = zeros) for 2D-only datasets."""
     info = get_dataset_info(info_name)
     rng = np.random.default_rng(seed)
     enc = {s: i for i, s in enumerate(info["atom_decoder"])}
     cap = max_nodes or info["max_n_nodes"]
+    if add_hydrogens is None:
+        add_hydrogens = "H" in enc
+    if not embed_3d:
+        verify_stability = False
 
     # GEOM-scale infos (cap > 32): draw the TARGET size from the real
     # train_n_nodes histogram so synthetic benchmarks see the dataset's
@@ -236,7 +248,7 @@ def chemical_synthetic_dataset(
     # infos keep the original draw: the deterministic synthetic reference
     # set (eval_pkl --allow_synthetic, flagship checkpoints) must not move.
     size_probs = None
-    if cap > 32 and info.get("train_n_nodes"):
+    if info.get("train_n_nodes") and (cap > 32 or not add_hydrogens):
         hist = info["train_n_nodes"]
         size_vals = np.array([s for s in sorted(hist) if s <= cap])
         size_probs = np.array([hist[s] for s in size_vals], np.float64)
@@ -256,16 +268,20 @@ def chemical_synthetic_dataset(
         attempts += 1
         if size_probs is not None:
             # total atoms ~= 2.35 x heavy atoms for this generator's
-            # chemistry (measured H fill of free valences)
+            # chemistry (measured H fill of free valences); heavy-only
+            # datasets take the histogram size directly
             target_n = int(rng.choice(size_vals, p=size_probs))
-            n_heavy = max(2, int(round(target_n / 2.35)))
+            n_heavy = (target_n if not add_hydrogens
+                       else max(2, int(round(target_n / 2.35))))
         else:
             n_heavy = int(rng.integers(2, max(3, min(9, cap // 3 + 1))))
         syms, order, free = _sample_graph(rng, n_heavy)
-        # attach hydrogens to exactly fill every free valence
+        # attach hydrogens to exactly fill every free valence (implicit-H
+        # datasets keep the heavy graph; free valences = implicit H)
         h_of = []
-        for i, f in enumerate(free):
-            h_of += [i] * int(f)
+        if add_hydrogens:
+            for i, f in enumerate(free):
+                h_of += [i] * int(f)
         n = n_heavy + len(h_of)
         if n > cap:
             continue
@@ -275,8 +291,11 @@ def chemical_synthetic_dataset(
         for k, host in enumerate(h_of):
             full_order[n_heavy + k, host] = 1
             full_order[host, n_heavy + k] = 1
-        pos = _embed_3d(rng, full_syms, full_order)
-        pos = pos - pos.mean(0, keepdims=True)
+        if embed_3d:
+            pos = _embed_3d(rng, full_syms, full_order)
+            pos = pos - pos.mean(0, keepdims=True)
+        else:
+            pos = np.zeros((n, 3))
 
         atom_type = np.array([enc[s] for s in full_syms], np.int64)
         if verify_stability:

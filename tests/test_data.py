@@ -315,3 +315,37 @@ def test_chemical_synthetic_dataset_is_stable_and_valid():
     assert res["Complete"] == 1.0
     # descriptor properties are populated and finite
     assert ds.y is not None and np.isfinite(ds.y).all()
+
+
+def test_chemical_synthetic_2d_heavy_only():
+    """2D chemical synthetic (ZINC/MOSES convention): heavy-atom graphs
+    with implicit hydrogens, no 3D embedding, sizes drawn from the real
+    train_n_nodes histogram, 100% 2D-valid by construction."""
+    import numpy as np
+
+    from jodo_tpu.data.datasets_info import get_dataset_info
+    from jodo_tpu.data.synthetic import chemical_synthetic_dataset
+    from jodo_tpu.evaluation import get_2d_edm_metric
+    from jodo_tpu.run_lib import _dataset_tuples
+
+    d = chemical_synthetic_dataset("zinc250k", num_mols=32, seed=0,
+                                   embed_3d=False)
+    sizes = np.asarray(d.n_nodes)
+    assert sizes.max() <= 38 and sizes.min() >= 2
+    info = dict(get_dataset_info("zinc250k"), synthetic=True)
+    tuples = _dataset_tuples(d)
+    _stab, rd, _mols = get_2d_edm_metric(info, tuples)(tuples)
+    assert rd["Validity"] == 1.0 and rd["Complete"] == 1.0
+
+
+def test_chemical_synthetic_geom_scale_sizes():
+    """GEOM-profile synthetic draws sizes from the real histogram (r4
+    correction: the old draw capped every molecule at <=27 atoms)."""
+    import numpy as np
+
+    from jodo_tpu.data.synthetic import chemical_synthetic_dataset
+
+    d = chemical_synthetic_dataset("geom_with_h_1", num_mols=48, seed=1)
+    sizes = np.asarray(d.n_nodes)
+    assert sizes.max() > 48  # spans multiple train buckets
+    assert 30 <= np.median(sizes) <= 60  # real GEOM p50 is ~44
