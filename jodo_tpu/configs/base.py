@@ -157,6 +157,7 @@ def base_config() -> ml_collections.ConfigDict:
     # tensors (memory). r2's opposite conclusion was an enqueue-rate
     # measurement artifact (BASELINE.md r3).
     tpu.remat_attn = False
+    tpu.remat_ffn = False  # recompute edge FFN + dropout masks in bwd
     tpu.mesh_shape = ""  # e.g. '8' or '4,2' ; '' => all local devices, 1-D data mesh
     tpu.donate_state = True
     # training-loop PRNG implementation: 'rbg' generates dropout masks via

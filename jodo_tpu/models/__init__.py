@@ -77,6 +77,7 @@ def create_model(config, pallas_overrides=None):
         time_dim=int(getattr(m, "time_dim", 0) or 0),
         compute_dtype=_compute_dtype(config),
         remat_attn=bool(getattr(config.tpu, "remat_attn", True)),
+        remat_ffn=bool(getattr(config.tpu, "remat_ffn", False)),
         **pallas,
     )
     if name == "DGT":

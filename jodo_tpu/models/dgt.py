@@ -308,6 +308,7 @@ class DGTBlock(nn.Module):
     use_pallas_edge_chain: bool = False  # fused post-attn edge+equi kernel
     use_pallas_block: bool = False  # fully-fused pair chain (ops/pallas_dgt)
     remat_attn: bool = True
+    remat_ffn: bool = False  # recompute edge FFN (+ its dropout masks) in bwd
 
     @nn.compact
     def __call__(
@@ -418,8 +419,17 @@ class DGTBlock(nn.Module):
                 )
             ) * nm
 
-        ffn_edge = GatedFFN(self.edge_dim, self.mlp_ratio, self.dropout,
-                            dtype=self.dtype, name="ff_edge")
+        # remat_ffn: recompute the edge FFN in the backward pass instead of
+        # saving its [B,N,N,mlp_ratio*Ed] hidden + two dropout masks as
+        # residuals — at dropout 0.1 those masks are the dominant train-
+        # step memory traffic (~13 ms/step at QM9 flagship, BASELINE.md
+        # r3); the recompute is two cheap 64-wide pair matmuls. flax remat
+        # replays make_rng('dropout') deterministically so fwd/bwd masks
+        # agree.
+        ffn_cls = (nn.remat(GatedFFN, static_argnums=(2,))
+                   if self.remat_ffn else GatedFFN)
+        ffn_edge = ffn_cls(self.edge_dim, self.mlp_ratio, self.dropout,
+                           dtype=self.dtype, name="ff_edge")
         equi = EquivariantCoordUpdate(
             self.node_dim, self.extra_heads, dtype=self.dtype,
             use_pallas=self.use_pallas_equi, fold_ln=self.fold_equi_ln,
@@ -790,6 +800,7 @@ class DGT(nn.Module):
     use_pallas_edge_chain: bool = False  # fused post-attn edge+equi kernel
     use_pallas_block: bool = False  # fully-fused pair chain (ops/pallas_dgt)
     remat_attn: bool = True  # recompute attention in bwd (see BASELINE.md r2)
+    remat_ffn: bool = False  # recompute edge FFN + dropout masks in bwd
 
     @nn.compact
     def __call__(
@@ -912,6 +923,7 @@ class DGT(nn.Module):
                 use_pallas_edge_chain=self.use_pallas_edge_chain,
                 use_pallas_block=self.use_pallas_block,
                 remat_attn=self.remat_attn,
+                remat_ffn=self.remat_ffn,
                 name=f"e_block_{i}",
             )(
                 pos,

@@ -197,3 +197,54 @@ def test_equi_folded_ln_matches_materialised(dtype, with_time, extra_heads):
     )
     tol = 2e-5 if dtype == "float32" else 6e-2
     np.testing.assert_allclose(out_fold, out_mat, atol=tol, rtol=tol)
+
+
+def test_remat_ffn_exact_gradients():
+    """tpu.remat_ffn recomputes the edge FFN (incl. its dropout masks) in
+    the backward pass: flax remat replays make_rng('dropout'), so loss AND
+    gradients match the no-remat path exactly and the param tree is
+    unchanged (checkpoint-invariant)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jodo_tpu.configs import get_config
+    from jodo_tpu.models import create_model
+    from jodo_tpu.ops import masks_from_counts
+
+    def build(remat_ffn):
+        cfg = get_config("qm9_uncond_jodo")
+        cfg.model.nf = 32
+        cfg.model.n_layers = 2
+        cfg.model.n_heads = 4
+        cfg.model.dropout = 0.1
+        cfg.tpu.remat_ffn = remat_ffn
+        cfg.tpu.compute_dtype = "float32"
+        return create_model(cfg)
+
+    m0, m1 = build(False), build(True)
+    b, n = 2, 16
+    nm, em = masks_from_counts(jnp.asarray([10, 16]), n)
+    xh = jax.random.normal(jax.random.PRNGKey(0), (b, n, 9)) * nm[..., None]
+    ex = jax.random.normal(jax.random.PRNGKey(1), (b, n, n, 2)) * em[..., None]
+    t = jnp.full((b,), 0.5)
+    nl = jnp.zeros((b,))
+    p0 = m0.init(jax.random.PRNGKey(2), t, xh, nm, em, ex, nl)
+    p1 = m1.init(jax.random.PRNGKey(2), t, xh, nm, em, ex, nl)
+    assert (jax.tree_util.tree_structure(p0)
+            == jax.tree_util.tree_structure(p1))
+
+    def loss_fn(model):
+        def f(params):
+            pred, e_pred = model.apply(
+                params, t, xh, nm, em, ex, nl, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(7)})
+            return jnp.sum(pred ** 2) + jnp.sum(e_pred ** 2)
+        return f
+
+    l0, g0 = jax.value_and_grad(loss_fn(m0))(p0)
+    l1, g1 = jax.value_and_grad(loss_fn(m1))(p1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-6)
