@@ -203,8 +203,19 @@ def _measure_train_real(cfg_name, batch, pad_n, n_iters=768, spd=32):
            "ms_per_iter": round(1e3 / sps, 3) if sps else None,
            "steps_per_dispatch": spd, "n_iters": n_iters,
            "fresh_host_batches": True, "preempt_ckpt_on": True}
+    pad_steps = metrics.get("pad_steps")
+    if pad_steps:
+        out["pad_steps"] = pad_steps
     if sps:
-        util = mfu(3.5 * dgt_forward_flops(cfg, batch, pad_n) * sps, 1.0)
+        # honest bucketed MFU: FLOPs weighted by the pads actually run
+        # (flat pad_n FLOPs overstate a bucketed loop ~2-4x)
+        if pad_steps:
+            total = sum(pad_steps.values())
+            fwd = sum(dgt_forward_flops(cfg, batch, p) * c
+                      for p, c in pad_steps.items()) / total
+        else:
+            fwd = dgt_forward_flops(cfg, batch, pad_n)
+        util = mfu(3.5 * fwd * sps, 1.0)
         out["mfu_approx"] = round(util, 4) if util is not None else None
     return out
 

@@ -221,8 +221,14 @@ class BucketedLoader:
         k > 1 and [batch, ...] for k == 1 (single-step dispatch shape).
         """
         pad = self.pads[self._rng.choice(len(self.pads), p=self.weights)]
+        return pad, self.chunk_for_pad(pad, k)
+
+    def chunk_for_pad(self, pad: int, k: int):
+        """Draw one K-step chunk from a SPECIFIC bucket (used by the
+        training loop's per-pad compile warmup; consumes k batches from
+        that bucket's infinite shuffled stream)."""
         if k == 1:
-            return pad, {kk: np.asarray(v)
-                         for kk, v in next(self.iters[pad]).items()}
+            return {kk: np.asarray(v)
+                    for kk, v in next(self.iters[pad]).items()}
         raws = [next(self.iters[pad]) for _ in range(k)]
-        return pad, {kk: np.stack([r[kk] for r in raws]) for kk in raws[0]}
+        return {kk: np.stack([r[kk] for r in raws]) for kk in raws[0]}

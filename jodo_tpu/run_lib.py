@@ -286,6 +286,7 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
     train_step = parts["train_step"]
     multi_train_step = parts.get("multi_train_step")
     last_metrics = {}
+    pad_steps: dict = {}  # pad -> steps executed (honest bucketed MFU)
 
     # steps per device dispatch: scanning K steps inside one XLA program
     # amortises the per-dispatch host->device latency (dominant over
@@ -298,6 +299,10 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
              config.training.snapshot_freq]
 
     def _next_boundary(s):
+        # note: s=0 IS a boundary — the 1-step first chunk realigns the
+        # stream so spd-sized chunks END exactly on freq multiples (its
+        # one-off single-step compile is excluded from the steady-state
+        # timer window by the warmup below)
         nb = n_iters
         for f in freqs:
             if f > 0:
@@ -336,8 +341,63 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
             return shard_batch(arrs, mesh)
         return shard_stacked_batch(arrs, mesh)
 
+    # AOT executable cache: one compiled program per chunk signature
+    # (shape set = pad x chunk length). The per-pad warmup below compiles
+    # every ladder program BEFORE the loop, so bucketed training never
+    # stalls on a mid-run compile (on GEOM a 10-layer (pad, K=32) program
+    # costs 2-4 min to compile; the r4 A/B's measured window was compile-
+    # dominated because of it). Cache misses (boundary-shrunk tail
+    # chunks) still compile lazily on first use — the persistent
+    # .jax_cache makes those fast on re-runs.
+    _exec_cache: dict = {}
+    _aot_ok = [True]
+
+    def _chunk_sig(batch):
+        return tuple(sorted((kk, tuple(v.shape)) for kk, v in batch.items()))
+
+    def _chunk_pad(batch):
+        for kk in ("atom_types", "node_mask"):
+            if kk in batch:
+                return int(batch[kk].shape[-1])
+        return None
+
+    def _dispatch_multi(st, batch, sub):
+        if not _aot_ok[0]:
+            return multi_train_step(st, batch, sub)
+        sig = _chunk_sig(batch)
+        comp = _exec_cache.get(sig)
+        try:
+            if comp is None:
+                comp = multi_train_step.lower(st, batch, sub).compile()
+                _exec_cache[sig] = comp
+            return comp(st, batch, sub)
+        except Exception:
+            logging.exception(
+                "AOT train dispatch failed; falling back to jit path")
+            _aot_ok[0] = False
+            return multi_train_step(st, batch, sub)
+
     chunk_q: _queue.Queue = _queue.Queue(maxsize=2)
     use_prefetch = multi_train_step is not None
+
+    if (use_prefetch and bool(config.tpu.get("warmup_compile", True))
+            and initial_step <= n_iters
+            and _next_boundary(initial_step) - initial_step + 1 >= spd):
+        t_warm = time.perf_counter()
+        w_key = jax.random.split(key)[1]  # aval twin of the loop's subkeys
+        warm_chunks = (
+            [parts["loader"].chunk_for_pad(p, spd)
+             for p in parts["loader"].pads]
+            if bucketed else [_make_chunk(spd)]
+        )
+        for host_chunk in warm_chunks:
+            dev = _to_device(spd, host_chunk)
+            sig = _chunk_sig(dev)
+            if sig not in _exec_cache:
+                _exec_cache[sig] = (
+                    multi_train_step.lower(state, dev, w_key).compile())
+        logging.info("compile warmup: %d program(s) in %.1fs",
+                     len(_exec_cache), time.perf_counter() - t_warm)
 
     def _producer():
         # collate AND host->device transfer both run here, overlapping
@@ -371,8 +431,11 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
         if k_steps == 1 or multi_train_step is None:
             state, metrics = train_step(state, batch, sub)
         else:
-            state, metrics = multi_train_step(state, batch, sub)
+            state, metrics = _dispatch_multi(state, batch, sub)
         timer.tick(k_steps)
+        _pad = _chunk_pad(batch)
+        if _pad is not None:
+            pad_steps[_pad] = pad_steps.get(_pad, 0) + k_steps
         step += k_steps - 1  # actions run at the chunk's last step index
 
         if step % config.training.log_freq == 0:
@@ -415,6 +478,8 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
         step += 1
 
     ckpt.flush()  # all queued async saves durable before returning
+    if pad_steps:
+        last_metrics["pad_steps"] = dict(sorted(pad_steps.items()))
     return state, last_metrics
 
 

@@ -100,3 +100,9 @@ def test_train_loop_bucketed_smoke(tmp_path):
     assert isinstance(parts["loader"], BucketedLoader)
     state, metrics = run_lib.run_train_loop(cfg, str(tmp_path), parts=parts)
     assert np.isfinite(metrics.get("loss", np.nan))
+    # per-pad step accounting (honest bucketed MFU in bench) covers every
+    # executed step and only uses ladder pads
+    pad_steps = metrics.get("pad_steps")
+    assert pad_steps, "bucketed loop must report pad_steps"
+    assert set(pad_steps) <= set(parts["loader"].pads)
+    assert sum(pad_steps.values()) == cfg.training.n_iters + 1  # steps 0..n
