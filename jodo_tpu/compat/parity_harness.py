@@ -186,7 +186,13 @@ def run(argv=None):
     os.makedirs(args.workdir, exist_ok=True)
 
     if args.dry_run:
-        # tiny-but-real shapes so the whole chain runs in seconds on CPU
+        # tiny-but-real shapes so the whole chain runs in seconds on CPU.
+        # Force the CPU backend: under the forced-axon env a dry-run
+        # would otherwise queue on the TPU grant (and collide with any
+        # running TPU job — the tunnel is process-exclusive).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         cfg.model.nf = 32
         cfg.model.n_layers = 2
         cfg.model.n_heads = 4
