@@ -56,6 +56,8 @@ def run_one(cfg_name, bucket_pads, n_iters, pad_n, batch, synthetic_size):
         "n_iters": n_iters,
         "final_loss": metrics.get("loss"),
         "iters_per_sec_window": metrics.get("steps_per_sec"),
+        "mols_per_sec_window": metrics.get("mols_per_sec"),
+        "pad_steps": metrics.get("pad_steps"),
         "wall_s": round(wall, 1),
     }
 
@@ -79,13 +81,21 @@ def main():
         print(json.dumps(row), flush=True)
     flat, bucketed = rows
     if flat["iters_per_sec_window"] and bucketed["iters_per_sec_window"]:
-        print(json.dumps({
+        out = {
             "target": target,
             "speedup": round(bucketed["iters_per_sec_window"]
                              / flat["iters_per_sec_window"], 3),
             "loss_flat": flat["final_loss"],
             "loss_bucketed": bucketed["final_loss"],
-        }))
+        }
+        # with bucket_batch_scale the honest throughput ratio is
+        # molecules/sec (per-step batches differ across buckets)
+        if flat.get("mols_per_sec_window") and bucketed.get(
+                "mols_per_sec_window"):
+            out["mols_speedup"] = round(
+                bucketed["mols_per_sec_window"]
+                / flat["mols_per_sec_window"], 3)
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -34,6 +34,7 @@ def geom_uncond_jodo():
     c.model.loss_weights = "1, 0.25, 0.1"
     c.training.batch_size = 16
     c.training.bucket_pads = "48,64,96,128"  # typical GEOM mol ~44 atoms; flat pad 184 wastes ~94% of pair FLOPs
+    c.training.bucket_batch_scale = 8.0  # pad-48 batches carry 128 mols at the pad-184 pair budget
     c.training.eval_batch_size = 16
     c.optim.grad_clip = 20.0
     c.eval.batch_size = 1000
@@ -148,6 +149,7 @@ def geom_2d_cdgs():
     c.optim.grad_clip = 20.0
     c.training.batch_size = 16
     c.training.bucket_pads = "48,64,96,128"  # typical GEOM mol ~44 atoms; flat pad 184 wastes ~94% of pair FLOPs
+    c.training.bucket_batch_scale = 8.0  # pad-48 batches carry 128 mols at the pad-184 pair budget
     c.training.eval_batch_size = 16
     c.eval.batch_size = 200
     c.eval.begin_ckpt = 20

@@ -102,6 +102,12 @@ def base_config() -> ml_collections.ConfigDict:
     # Each multi-step dispatch chunk draws same-size-bucket batches and
     # compiles at that pad (see data.loader.BucketedLoader).
     training.bucket_pads = ""
+    # per-bucket batch-size scale cap: buckets with pad p draw batches of
+    # base_batch * min(cap, (pad_max/p)^2) molecules (rounded to 8). The
+    # base batch is sized for the worst pad; 1.0 = off (uniform batch).
+    # Stratum sampling stays population-proportional, so gradients remain
+    # unbiased — larger small-pad batches only cut their variance.
+    training.bucket_batch_scale = 1.0
 
     # optimization
     config.optim = optim = ml_collections.ConfigDict()

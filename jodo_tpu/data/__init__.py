@@ -168,4 +168,6 @@ def make_bucketed_loader(config, data: MolData, pads, batch_size: int,
         property_values=property_values,
         seed=seed,
         compact=compact,
+        batch_scale_cap=float(
+            config.training.get("bucket_batch_scale", 1.0) or 1.0),
     )

@@ -174,6 +174,7 @@ class BucketedLoader:
         property_values: Optional[np.ndarray] = None,
         seed: int = 0,
         compact: bool = False,
+        batch_scale_cap: float = 1.0,
     ):
         indices = np.asarray(indices)
         sizes = np.asarray(data.n_nodes)[indices]
@@ -186,6 +187,7 @@ class BucketedLoader:
         self.pads = []
         self.loaders = {}
         self.iters = {}
+        self.batch_sizes = {}
         weights = []
         prev = -1
         carry = np.zeros(len(sizes), bool)
@@ -195,24 +197,47 @@ class BucketedLoader:
             carry = np.zeros(len(sizes), bool)
             if not mask.any():
                 continue
+            b_pad = self._scaled_batch(batch_size, pad, pads[-1],
+                                       batch_scale_cap)
             # an undersized bucket can't fill one batch; fold it into the
             # next pad up (larger pad always covers smaller molecules).
             # The last bucket keeps its tail via infinite_sync's cycling.
-            if mask.sum() < batch_size and pad != pads[-1]:
+            if mask.sum() < b_pad and pad != pads[-1]:
                 carry = mask
                 continue
             self.pads.append(pad)
             weights.append(int(mask.sum()))
+            self.batch_sizes[pad] = b_pad
             self.loaders[pad] = BatchLoader(
-                data, indices[mask], batch_size, pad, num_atom_types,
+                data, indices[mask], b_pad, pad, num_atom_types,
                 compress_edge, include_aromatic, bond_types,
                 property_values, shuffle=True, seed=seed + pad,
                 compact=compact,
             )
             self.iters[pad] = self.loaders[pad].infinite_sync()
+        # Stratum selection stays proportional to POPULATION regardless of
+        # per-pad batch size: each step's gradient is an unbiased estimate
+        # of its stratum's mean-loss gradient, so E[step gradient] =
+        # sum_s p_s grad_s matches the population gradient iff p_s is
+        # proportional to stratum mass. Larger small-pad batches only
+        # lower that stratum's gradient variance (and raise mols/step).
         w = np.asarray(weights, np.float64)
         self.weights = w / w.sum()
         self.batch_size = batch_size
+
+    @staticmethod
+    def _scaled_batch(batch_size, pad, ref_pad, cap):
+        """Per-bucket batch size: the base batch is sized for the WORST
+        pad (GEOM's 16 exists because of the N=184 pair tensors,
+        reference configs/vpsde_geom_uncond_jodo.py:72); small pads can
+        afford ~(ref_pad/pad)^2 more molecules per step at equal pair
+        FLOPs/memory. Capped (training.bucket_batch_scale), rounded to a
+        multiple of 8 (mesh-divisibility quantum), never below base."""
+        cap = float(cap or 1.0)
+        if cap <= 1.0:
+            return batch_size
+        scale = min(cap, (ref_pad / float(pad)) ** 2)
+        return max(batch_size, int(batch_size * scale) // 8 * 8)
 
     def next_chunk(self, k: int):
         """Draw K same-pad batches for one multi-step dispatch.

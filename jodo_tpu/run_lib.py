@@ -287,6 +287,7 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
     multi_train_step = parts.get("multi_train_step")
     last_metrics = {}
     pad_steps: dict = {}  # pad -> steps executed (honest bucketed MFU)
+    mol_count = [0, 0]  # [molecules seen, steps] — per-bucket batches vary
 
     # steps per device dispatch: scanning K steps inside one XLA program
     # amortises the per-dispatch host->device latency (dominant over
@@ -355,11 +356,15 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
     def _chunk_sig(batch):
         return tuple(sorted((kk, tuple(v.shape)) for kk, v in batch.items()))
 
-    def _chunk_pad(batch):
+    def _chunk_pad(batch, k_steps=None):
         for kk in ("atom_types", "node_mask"):
             if kk in batch:
-                return int(batch[kk].shape[-1])
-        return None
+                pad = int(batch[kk].shape[-1])
+                if k_steps is None:
+                    return pad
+                b = int(batch[kk].shape[0 if k_steps == 1 else 1])
+                return pad, b
+        return None if k_steps is None else (None, None)
 
     def _dispatch_multi(st, batch, sub):
         if not _aot_ok[0]:
@@ -433,19 +438,28 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
         else:
             state, metrics = _dispatch_multi(state, batch, sub)
         timer.tick(k_steps)
-        _pad = _chunk_pad(batch)
+        _pad, _b = _chunk_pad(batch, k_steps)
         if _pad is not None:
             pad_steps[_pad] = pad_steps.get(_pad, 0) + k_steps
+            mol_count[0] += k_steps * _b
+            mol_count[1] += k_steps
         step += k_steps - 1  # actions run at the chunk's last step index
 
         if step % config.training.log_freq == 0:
             loss = float(metrics["loss"])
             sps = timer.steps_per_sec
+            # molecules/sec: steps/sec x average molecules-per-step —
+            # with bucket_batch_scale the per-step batch varies by pad,
+            # so steps/sec alone under-reports bucketed throughput
+            mps = (sps * mol_count[0] / mol_count[1]
+                   if sps and mol_count[1] else None)
             logging.info(
-                "step: %d, training_loss: %.5e, steps/sec: %s",
+                "step: %d, training_loss: %.5e, steps/sec: %s, mols/sec: %s",
                 step, loss, f"{sps:.2f}" if sps else "n/a",
+                f"{mps:.1f}" if mps else "n/a",
             )
-            last_metrics = {"loss": loss, "steps_per_sec": sps}
+            last_metrics = {"loss": loss, "steps_per_sec": sps,
+                            "mols_per_sec": mps}
 
         if step != 0 and step % config.training.snapshot_freq_for_preemption == 0:
             # async: on-device snapshot now, fetch+write on a worker thread

@@ -106,3 +106,30 @@ def test_train_loop_bucketed_smoke(tmp_path):
     assert pad_steps, "bucketed loop must report pad_steps"
     assert set(pad_steps) <= set(parts["loader"].pads)
     assert sum(pad_steps.values()) == cfg.training.n_iters + 1  # steps 0..n
+
+
+def test_bucket_batch_scale(train_ds):
+    """Per-bucket batch scaling (VERDICT r3 task #5): small pads draw
+    ~(pad_max/pad)^2-larger batches (capped, multiple of 8, never below
+    base), stratum weights stay population-proportional, and chunk shapes
+    carry each bucket's own batch size."""
+    cfg = _cfg()
+    cfg.training.bucket_batch_scale = 4.0
+    loader = make_bucketed_loader(cfg, train_ds, [16, 24, 32], 8, seed=0)
+    for pad in loader.pads:
+        expect = max(8, int(8 * min(4.0, (32 / pad) ** 2)) // 8 * 8)
+        assert loader.batch_sizes[pad] == expect
+        chunk = loader.chunk_for_pad(pad, 2)
+        assert chunk["atom_types"].shape == (2, loader.batch_sizes[pad], pad)
+    # pad 16 hits the cap (scale 4 -> batch 32), pad 32 stays at base
+    if 16 in loader.batch_sizes:
+        assert loader.batch_sizes[16] == 32
+    assert loader.batch_sizes[loader.pads[-1]] == 8
+    # population-proportional selection is independent of batch size
+    unscaled = make_bucketed_loader(cfg, train_ds, [16, 24, 32], 8, seed=0,
+                                    compact=True)
+    np.testing.assert_allclose(loader.weights, unscaled.weights)
+    # cap 1.0 (default) leaves every bucket at the base batch
+    cfg.training.bucket_batch_scale = 1.0
+    flat = make_bucketed_loader(cfg, train_ds, [16, 24, 32], 8, seed=0)
+    assert all(b == 8 for b in flat.batch_sizes.values())
