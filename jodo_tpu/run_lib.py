@@ -385,24 +385,49 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
     chunk_q: _queue.Queue = _queue.Queue(maxsize=2)
     use_prefetch = multi_train_step is not None
 
+    # Chunk sizes the schedule will actually dispatch (bounded scan of the
+    # boundary pattern — it repeats with lcm(freqs), so 4096 chunks see
+    # every size). Warm-compile each RECURRING multi-step size per ladder
+    # pad BEFORE the loop. The r4 gate compared against
+    # `_next_boundary(initial_step)`, which is initial_step itself at any
+    # fresh start (s=0 is a boundary), so warmup NEVER ran and every
+    # (pad, K) program compiled lazily inside the StepTimer window —
+    # measured 0.49-2.3 it/s on a 13 it/s device (BENCH r4 incident).
+    def _sched_sizes(limit=4096):
+        from collections import Counter
+        cnt: Counter = Counter()
+        s = initial_step
+        n = 0
+        while s <= n_iters and n < limit:
+            k_s = max(1, min(spd, _next_boundary(s) - s + 1,
+                             n_iters - s + 1))
+            cnt[k_s] += 1
+            s += k_s
+            n += 1
+        return cnt
+
     if (use_prefetch and bool(config.tpu.get("warmup_compile", True))
-            and initial_step <= n_iters
-            and _next_boundary(initial_step) - initial_step + 1 >= spd):
+            and initial_step <= n_iters):
+        sched = _sched_sizes()
+        warm_sizes = sorted(k for k, c in sched.items()
+                            if k > 1 and (c >= 2 or k == spd))
         t_warm = time.perf_counter()
         w_key = jax.random.split(key)[1]  # aval twin of the loop's subkeys
-        warm_chunks = (
-            [parts["loader"].chunk_for_pad(p, spd)
-             for p in parts["loader"].pads]
-            if bucketed else [_make_chunk(spd)]
-        )
-        for host_chunk in warm_chunks:
-            dev = _to_device(spd, host_chunk)
-            sig = _chunk_sig(dev)
-            if sig not in _exec_cache:
-                _exec_cache[sig] = (
-                    multi_train_step.lower(state, dev, w_key).compile())
-        logging.info("compile warmup: %d program(s) in %.1fs",
-                     len(_exec_cache), time.perf_counter() - t_warm)
+        for k_w in warm_sizes:
+            warm_chunks = (
+                [parts["loader"].chunk_for_pad(p, k_w)
+                 for p in parts["loader"].pads]
+                if bucketed else [_make_chunk(k_w)]
+            )
+            for host_chunk in warm_chunks:
+                dev = _to_device(k_w, host_chunk)
+                sig = _chunk_sig(dev)
+                if sig not in _exec_cache:
+                    _exec_cache[sig] = (
+                        multi_train_step.lower(state, dev, w_key).compile())
+        if warm_sizes:
+            logging.info("compile warmup: %d program(s) in %.1fs",
+                         len(_exec_cache), time.perf_counter() - t_warm)
 
     def _producer():
         # collate AND host->device transfer both run here, overlapping
