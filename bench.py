@@ -227,7 +227,11 @@ def main():
 
     batch = int(os.environ.get("JODO_BENCH_BATCH", "128"))
     steps = int(os.environ.get("JODO_BENCH_STEPS", "1000"))
-    n_samples = int(os.environ.get("JODO_BENCH_SAMPLES", "512"))
+    # 1024 samples: at 512 the bucket rounds are quantisation-dominated
+    # (the rare pad-32 round still runs a full 128-mol batch); 1024
+    # amortises the round quanta and reads ~steady-state (the reference
+    # protocol is 10k samples — larger is MORE protocol-faithful)
+    n_samples = int(os.environ.get("JODO_BENCH_SAMPLES", "1024"))
     budget_s = float(os.environ.get("JODO_BENCH_BUDGET_S", "420"))
     t_start = time.perf_counter()
 
@@ -317,7 +321,7 @@ def main():
 
     run_block("qm9@50_fast", 30,
               os.environ.get("JODO_BENCH_FAST", "1") == "1", _fast)
-    run_block("qm9_train_real", 90,
+    run_block("qm9_train_real", 150,
               os.environ.get("JODO_BENCH_TRAIN_REAL", "1") == "1",
               _train_real)
     run_block("geom", 150,

@@ -82,9 +82,13 @@ def test_bucket_ladder_must_cover_max(train_ds):
         make_bucketed_loader(cfg, train_ds, [8], 8, seed=0)
 
 
-def test_train_loop_bucketed_smoke(tmp_path):
+def test_train_loop_bucketed_smoke(tmp_path, caplog):
     """run_train_loop with bucket_pads on: runs chunks at bucket pads,
-    logs and checkpoints; loss finite."""
+    logs and checkpoints; loss finite; the per-pad compile warmup FIRES
+    at a fresh start (the r4 gate bug left every bucket program to
+    compile lazily inside the throughput timing window)."""
+    import logging
+
     from jodo_tpu import run_lib
 
     cfg = _cfg()
@@ -98,7 +102,12 @@ def test_train_loop_bucketed_smoke(tmp_path):
 
     parts = run_lib.build_training(cfg, synthetic_fallback=True)
     assert isinstance(parts["loader"], BucketedLoader)
-    state, metrics = run_lib.run_train_loop(cfg, str(tmp_path), parts=parts)
+    with caplog.at_level(logging.INFO):
+        state, metrics = run_lib.run_train_loop(cfg, str(tmp_path),
+                                                parts=parts)
+    assert any("compile warmup" in r.message for r in caplog.records), (
+        "per-pad warmup must pre-compile recurring chunk programs at a "
+        "fresh start")
     assert np.isfinite(metrics.get("loss", np.nan))
     # per-pad step accounting (honest bucketed MFU in bench) covers every
     # executed step and only uses ladder pads
