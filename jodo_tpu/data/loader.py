@@ -248,6 +248,21 @@ class BucketedLoader:
         pad = self.pads[self._rng.choice(len(self.pads), p=self.weights)]
         return pad, self.chunk_for_pad(pad, k)
 
+    def infinite(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Endless single-batch stream (BatchLoader interface parity:
+        resident-batch benches and the classifier trainer draw plain
+        batches regardless of which loader the config produced). Batches
+        come one bucket at a time via the stratified draw."""
+        while True:
+            _pad, batch = self.next_chunk(1)
+            yield batch
+
+    def epoch(self, include_tail: bool = False) -> Iterator[Dict[str, np.ndarray]]:
+        """One pass over every bucket's data (BatchLoader interface
+        parity), bucket by bucket — each batch is same-pad static-shape."""
+        for pad in self.pads:
+            yield from self.loaders[pad].epoch(include_tail=include_tail)
+
     def chunk_for_pad(self, pad: int, k: int):
         """Draw one K-step chunk from a SPECIFIC bucket (used by the
         training loop's per-pad compile warmup; consumes k batches from
