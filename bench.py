@@ -299,10 +299,12 @@ def main():
 
     def _geom():
         geom_batch = max(8, batch // 8)
-        # 64 samples touch only the 2-3 buckets the GEOM size histogram
-        # (p50~44/p99~73) actually populates — each extra bucket is a
-        # ~60-90s 10-layer compile on a cold cache
-        geom_samples = max(32, n_samples // 16)
+        # 256 samples: still only the 2-3 buckets the GEOM size histogram
+        # (p50~44/p99~73) populates (compile count unchanged), but the
+        # dominant pad-48 rounds fill to their efficient 112-mol batch —
+        # at 64 samples the blend measured 10.99 mols/s because the
+        # pad-48 round ran at B=64 (r4 capture)
+        geom_samples = max(64, n_samples // 4)
         geom = _measure(
             "geom_uncond_jodo", GEOM_WITH_H_1, geom_batch,
             max(50, steps // 10), geom_samples,
