@@ -190,7 +190,13 @@ def _measure_train_real(cfg_name, batch, pad_n, n_iters=768, spd=32):
     cfg.training.n_iters = n_iters
     cfg.training.log_freq = n_iters
     cfg.training.snapshot_freq = 10 ** 9
-    cfg.training.snapshot_freq_for_preemption = max(1, n_iters // 3)
+    # preempt freq MUST be a multiple of spd here: a misaligned freq
+    # (e.g. n_iters//3=85) shrinks chunks to one-off sizes (21, 11, ...)
+    # that the recurring-size warmup does not pre-compile, and each lazy
+    # compile lands inside the timing window (r4: read 2.97 it/s on a
+    # ~30 it/s loop)
+    cfg.training.snapshot_freq_for_preemption = max(spd, (n_iters // 3)
+                                                    // spd * spd)
     cfg.training.snapshot_sampling = False
     workdir = tempfile.mkdtemp(prefix="jodo_bench_train_")
     try:

@@ -408,9 +408,12 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
 
     if (use_prefetch and bool(config.tpu.get("warmup_compile", True))
             and initial_step <= n_iters):
+        # every multi-step size in the schedule: a one-off size costs one
+        # compile either way — paying it before the loop keeps the
+        # steady-state window honest (a misaligned preempt freq produces
+        # sizes like 21/11 that appear once per cycle)
         sched = _sched_sizes()
-        warm_sizes = sorted(k for k, c in sched.items()
-                            if k > 1 and (c >= 2 or k == spd))
+        warm_sizes = sorted(k for k in sched if k > 1)
         t_warm = time.perf_counter()
         w_key = jax.random.split(key)[1]  # aval twin of the loop's subkeys
         for k_w in warm_sizes:
