@@ -108,6 +108,12 @@ def base_config() -> ml_collections.ConfigDict:
     # Stratum sampling stays population-proportional, so gradients remain
     # unbiased — larger small-pad batches only cut their variance.
     training.bucket_batch_scale = 1.0
+    # wall-clock training budget in seconds, measured from the end of
+    # compile warmup (0 = off). The loop exits cleanly at the first chunk
+    # boundary past the budget (meta checkpoint still written), so runs
+    # can be bounded by TIME instead of steps — preemptible-quota
+    # scheduling and equal-wall-clock A/Bs both need it.
+    training.max_train_wall_s = 0.0
 
     # optimization
     config.optim = optim = ml_collections.ConfigDict()

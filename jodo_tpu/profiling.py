@@ -13,27 +13,44 @@ __all__ = ["StepTimer", "trace", "dgt_forward_flops", "device_peak_flops", "mfu"
 
 
 class StepTimer:
-    """Rolling-window steps/sec with warmup exclusion."""
+    """Rolling-window steps/sec + mols/sec with warmup exclusion.
+
+    steps and molecules are accumulated per tick so both rates cover the
+    SAME window — deriving mols/sec from run-cumulative average batch
+    size skews short bucketed runs whose early pad mixture differs from
+    the window's (ADVICE r4)."""
 
     def __init__(self, window: int = 100):
         self.window = window
         self._times = []
         self._counts = []
+        self._mols = []
 
-    def tick(self, n_steps: int = 1):
-        """Record a dispatch covering `n_steps` training steps."""
+    def tick(self, n_steps: int = 1, n_mols: int = 0):
+        """Record a dispatch covering `n_steps` training steps consuming
+        `n_mols` molecules (0 when the caller doesn't track batches)."""
         self._times.append(time.perf_counter())
         self._counts.append(n_steps)
+        self._mols.append(n_mols)
         if len(self._times) > self.window + 1:
             self._times.pop(0)
             self._counts.pop(0)
+            self._mols.pop(0)
 
-    @property
-    def steps_per_sec(self) -> Optional[float]:
+    def _rate(self, values) -> Optional[float]:
         if len(self._times) < 2:
             return None
         dt = self._times[-1] - self._times[0]
-        return sum(self._counts[1:]) / dt if dt > 0 else None
+        return sum(values[1:]) / dt if dt > 0 else None
+
+    @property
+    def steps_per_sec(self) -> Optional[float]:
+        return self._rate(self._counts)
+
+    @property
+    def mols_per_sec(self) -> Optional[float]:
+        rate = self._rate(self._mols)
+        return rate if rate else None
 
 
 def dgt_forward_flops(config, batch: int, pad_n: int) -> float:

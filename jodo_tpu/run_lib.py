@@ -396,14 +396,35 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
     def _sched_sizes(limit=4096):
         from collections import Counter
         cnt: Counter = Counter()
-        s = initial_step
-        n = 0
-        while s <= n_iters and n < limit:
-            k_s = max(1, min(spd, _next_boundary(s) - s + 1,
-                             n_iters - s + 1))
-            cnt[k_s] += 1
-            s += k_s
-            n += 1
+
+        def scan(s0, n_limit):
+            s, n = s0, 0
+            while s <= n_iters and n < n_limit:
+                k_s = max(1, min(spd, _next_boundary(s) - s + 1,
+                                 n_iters - s + 1))
+                cnt[k_s] += 1
+                s += k_s
+                n += 1
+            return s
+
+        reached = scan(initial_step, limit)
+        if reached <= n_iters:
+            # horizon hit before the end of the run: the terminal
+            # truncated chunk (and any size unique to the run's final
+            # boundary segment) would lazy-compile inside the timing
+            # window (ADVICE r4). Chunks always END exactly on freq
+            # boundaries, so the stream is phase-aligned at b+1 for
+            # every boundary b — replaying from the LAST boundary
+            # before n_iters (stepped forward by whole spd chunks to
+            # stay near the end) reproduces the true terminal sizes.
+            b_star = 0
+            for f in freqs:
+                if f > 0:
+                    b_star = max(b_star, (n_iters - 1) // f * f)
+            s0 = b_star + 1
+            if n_iters - 8 * spd > s0:
+                s0 += (n_iters - 8 * spd - s0) // spd * spd
+            scan(max(s0, reached), 64)
         return cnt
 
     if (use_prefetch and bool(config.tpu.get("warmup_compile", True))
@@ -447,8 +468,20 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
     if use_prefetch:
         _threading.Thread(target=_producer, daemon=True).start()
 
+    # wall-clock budget (training.max_train_wall_s): measured from here —
+    # AFTER compile warmup, so the budget buys training steps, not
+    # compiles. Exit is clean (meta checkpoint + flush) at the first
+    # chunk boundary past the budget.
+    wall_budget = float(config.training.get("max_train_wall_s", 0.0))
+    wall_t0 = time.perf_counter()
+
     step = initial_step
     while step <= n_iters:
+        if wall_budget > 0 and time.perf_counter() - wall_t0 > wall_budget:
+            logging.info("wall budget %.0fs reached at step %d — stopping",
+                         wall_budget, step)
+            ckpt.save_meta_async(state)
+            break
         if use_prefetch:
             item = chunk_q.get()
             if isinstance(item, Exception):
@@ -465,8 +498,8 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
             state, metrics = train_step(state, batch, sub)
         else:
             state, metrics = _dispatch_multi(state, batch, sub)
-        timer.tick(k_steps)
         _pad, _b = _chunk_pad(batch, k_steps)
+        timer.tick(k_steps, n_mols=k_steps * _b if _pad is not None else 0)
         if _pad is not None:
             pad_steps[_pad] = pad_steps.get(_pad, 0) + k_steps
             mol_count[0] += k_steps * _b
@@ -476,11 +509,12 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
         if step % config.training.log_freq == 0:
             loss = float(metrics["loss"])
             sps = timer.steps_per_sec
-            # molecules/sec: steps/sec x average molecules-per-step —
+            # molecules/sec over the SAME rolling window as steps/sec —
             # with bucket_batch_scale the per-step batch varies by pad,
-            # so steps/sec alone under-reports bucketed throughput
-            mps = (sps * mol_count[0] / mol_count[1]
-                   if sps and mol_count[1] else None)
+            # so steps/sec alone under-reports bucketed throughput, and a
+            # run-cumulative average batch would skew short runs whose
+            # early pad mixture differs from the window's (ADVICE r4)
+            mps = timer.mols_per_sec
             logging.info(
                 "step: %d, training_loss: %.5e, steps/sec: %s, mols/sec: %s",
                 step, loss, f"{sps:.2f}" if sps else "n/a",
@@ -522,6 +556,7 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
     ckpt.flush()  # all queued async saves durable before returning
     if pad_steps:
         last_metrics["pad_steps"] = dict(sorted(pad_steps.items()))
+    last_metrics["final_step"] = int(min(step, n_iters))
     return state, last_metrics
 
 

@@ -134,11 +134,14 @@ def test_bucket_batch_scale(train_ds):
     if 16 in loader.batch_sizes:
         assert loader.batch_sizes[16] == 32
     assert loader.batch_sizes[loader.pads[-1]] == 8
-    # population-proportional selection is independent of batch size
-    unscaled = make_bucketed_loader(cfg, train_ds, [16, 24, 32], 8, seed=0,
-                                    compact=True)
-    np.testing.assert_allclose(loader.weights, unscaled.weights)
     # cap 1.0 (default) leaves every bucket at the base batch
     cfg.training.bucket_batch_scale = 1.0
     flat = make_bucketed_loader(cfg, train_ds, [16, 24, 32], 8, seed=0)
     assert all(b == 8 for b in flat.batch_sizes.values())
+    # population-proportional selection is independent of batch scaling:
+    # compare against the truly UNSCALED loader (the old comparison
+    # loader was built with scale still at 4.0, so it compared two
+    # identically scaled loaders — ADVICE r4). Realized pads must match
+    # first: scaled fold-up thresholds could change bucket composition.
+    assert flat.pads == loader.pads
+    np.testing.assert_allclose(loader.weights, flat.weights)
