@@ -250,12 +250,24 @@ def main():
     # protocol is 10k samples — larger is MORE protocol-faithful)
     n_samples = int(os.environ.get("JODO_BENCH_SAMPLES", "1024"))
     budget_s = float(os.environ.get("JODO_BENCH_BUDGET_S", "540"))
+
+    # the axon terminal holds a dead client's TPU grant ~5-10 min; the
+    # first device op blocks until it frees. Sync once BEFORE starting
+    # the budget clock so an environmental grant wait is not charged
+    # against judged blocks (it is recorded instead).
+    import jax
+    import jax.numpy as jnp
+    t_grant = time.perf_counter()
+    jnp.zeros(()).block_until_ready()
+    grant_wait_s = round(time.perf_counter() - t_grant, 1)
     t_start = time.perf_counter()
 
     qm9 = _measure("qm9_uncond_jodo", QM9_WITH_H, batch, steps, n_samples,
                    feat=9, edge_ch=2, pad_n=32)
+    qm9["block_s"] = round(time.perf_counter() - t_start, 1)
 
-    extra = {"qm9@1000": qm9, "skipped_blocks": []}
+    extra = {"qm9@1000": qm9, "skipped_blocks": [],
+             "grant_wait_s": grant_wait_s}
 
     # Anchor bracket (BASELINE.md r2 derivation): the conservative anchor
     # deliberately over-credits the A100 PyTorch reference at 10 mols/s;
@@ -293,10 +305,13 @@ def main():
                  "est_cost_s": est_cost_s})
             emit()
             return
+        t_b = time.perf_counter()
         try:
             extra[name] = fn()
         except Exception as exc:  # keep the headline metric robust
             extra[name] = {"error": f"{type(exc).__name__}: {exc}"}
+        if isinstance(extra[name], dict):
+            extra[name]["block_s"] = round(time.perf_counter() - t_b, 1)
         emit()
 
     def _fast():

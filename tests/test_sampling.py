@@ -232,3 +232,23 @@ def test_warm_covers_timed_call_zero_compiles():
     # warming again is a no-op (all signatures cached)
     report2 = fn.warm(params, seed=7)
     assert not report2["compiled"]
+
+
+def test_plan_merges_one_off_tail_programs():
+    """Program-count minimisation: a tail round whose quantum-rounded
+    batch would be a one-off (pad, batch) signature is promoted into an
+    already-planned signature (extra slots = throwaway chains), so the
+    whole plan needs fewer XLA programs (~45-90 s compile each on a
+    tunneled TPU). plan() alone exercises this — no compilation."""
+    cfg = tiny_cfg(steps=2)
+    model, _ = _setup_model(cfg)
+    sch = NoiseSchedule.create(cfg.sde.schedule)
+    nodes_dist = DistributionNodes({5: 2, 6: 2, 7: 3, 8: 1}, seed=0)
+    fn = make_sampling_fn(
+        cfg, sch, model, nodes_dist, batch_size=4, n_samples=10, pad_n=N
+    )
+    plan = fn.plan(seed=3)
+    # naive chunking: two (8,4) rounds + a quantum-64 tail (8,64) —
+    # merged, every round shares the single (8,4) program
+    assert set(plan) == {(8, 4)}
+    assert len(plan) == 3
