@@ -201,13 +201,16 @@ def _measure_train_real(cfg_name, batch, pad_n, n_iters=768, spd=32):
     cfg.training.n_iters = n_iters
     cfg.training.log_freq = n_iters
     cfg.training.snapshot_freq = 10 ** 9
-    # preempt freq MUST be a multiple of spd here: a misaligned freq
-    # (e.g. n_iters//3=85) shrinks chunks to one-off sizes (21, 11, ...)
-    # that the recurring-size warmup does not pre-compile, and each lazy
-    # compile lands inside the timing window (r4: read 2.97 it/s on a
-    # ~30 it/s loop)
-    cfg.training.snapshot_freq_for_preemption = max(spd, (n_iters // 3)
-                                                    // spd * spd)
+    # preemption checkpointing stays at the PRODUCTION cadence (config
+    # default 10000 steps ~ one async save per 5+ min): the r4 block
+    # forced a save every 64 steps — every ~2 s of compute — and each
+    # save's full-state host fetch stalls the tunnel ~5-7 s, which read
+    # 143 ms/iter on a ~38 ms/iter loop (r5 measurement). A short
+    # steady-state window at production cadence legitimately contains
+    # zero saves; the save path itself is exercised by training runs and
+    # tests/test_checkpoint.py. (Earlier r4 note kept for the freq
+    # alignment rule: any bench override must be a multiple of spd or
+    # one-off chunk sizes compile lazily inside the window.)
     cfg.training.snapshot_sampling = False
     workdir = tempfile.mkdtemp(prefix="jodo_bench_train_")
     try:
@@ -219,7 +222,9 @@ def _measure_train_real(cfg_name, batch, pad_n, n_iters=768, spd=32):
     out = {"iters_per_sec": round(sps, 2) if sps else None,
            "ms_per_iter": round(1e3 / sps, 3) if sps else None,
            "steps_per_dispatch": spd, "n_iters": n_iters,
-           "fresh_host_batches": True, "preempt_ckpt_on": True}
+           "fresh_host_batches": True,
+           "preempt_ckpt_cadence": int(
+               cfg.training.snapshot_freq_for_preemption)}
     pad_steps = metrics.get("pad_steps")
     if pad_steps:
         out["pad_steps"] = pad_steps

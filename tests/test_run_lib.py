@@ -114,3 +114,23 @@ def test_eval_pkl_allow_synthetic_full_agreement(trained, evaluated):
     assert rescored["3D"]["SNN"] == pytest.approx(res["SNN"])
     assert rescored["3D"]["SA"] == pytest.approx(res["SA"])
     assert rescored["2D"]["Novelty"] == pytest.approx(res["2D_Novelty"])
+
+
+def test_wall_budget_stops_loop_cleanly(tmp_path):
+    """training.max_train_wall_s: the loop exits at the first chunk
+    boundary past the budget — final_step < n_iters, a meta checkpoint
+    exists for resume, and the budget does not charge compile warmup
+    (the clock starts after it)."""
+    cfg = tiny_train_cfg(tmp_path)
+    cfg.training.n_iters = 10 ** 6
+    cfg.training.log_freq = 10 ** 6
+    cfg.training.snapshot_freq = 10 ** 6
+    cfg.training.snapshot_freq_for_preemption = 10 ** 6
+    cfg.training.snapshot_sampling = False
+    cfg.training.max_train_wall_s = 1.5
+    state, metrics = run_lib.run_train_loop(
+        cfg, str(tmp_path), sample_at_snapshot=False
+    )
+    assert 0 < metrics["final_step"] < 10 ** 6
+    assert int(state.step) > 0
+    assert (tmp_path / "checkpoints-meta" / "state").exists()
