@@ -199,7 +199,13 @@ def _measure_train_real(cfg_name, batch, pad_n, n_iters=768, spd=32):
     cfg.tpu.donate_state = True
     cfg.training.steps_per_dispatch = spd
     cfg.training.n_iters = n_iters
-    cfg.training.log_freq = n_iters
+    # a loss fetch every OTHER dispatch chunk: without any mid-loop
+    # value fetch the StepTimer measures async SUBMISSION intervals, not
+    # device time — r5 bisect read 100 it/s (producer-rate flooding) and
+    # 9.9 it/s (deserialize stalls queued behind submissions) for the
+    # SAME ~30 it/s loop. A fetch synchronises the pipeline while still
+    # overlapping chunk k+1's host work with chunk k's device work.
+    cfg.training.log_freq = 2 * spd
     cfg.training.snapshot_freq = 10 ** 9
     # preemption checkpointing stays at the PRODUCTION cadence (config
     # default 10000 steps ~ one async save per 5+ min): the r4 block
@@ -373,7 +379,7 @@ def main():
     run_block("qm9_train_real", 150,
               os.environ.get("JODO_BENCH_TRAIN_REAL", "1") == "1",
               _train_real)
-    run_block("qm9@50_fast", 30,
+    run_block("qm9@50_fast", 190,
               os.environ.get("JODO_BENCH_FAST", "1") == "1", _fast)
     run_block("qm9_train_resident_ab", 60,
               os.environ.get("JODO_BENCH_TRAIN_RESIDENT", "0") == "1",
