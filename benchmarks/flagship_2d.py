@@ -49,6 +49,13 @@ def main():
     ap.add_argument("--eval-samples", type=int, default=256)
     ap.add_argument("--workdir", default="runs/zinc_2d_flagship")
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--eval-method", default="ancestral",
+                    choices=["ancestral", "fast"],
+                    help="fast = DPM-Solver@50 per checkpoint: ~20x "
+                         "cheaper evals, affording more checkpoints on "
+                         "long continuations (r5)")
+    ap.add_argument("--first-ckpt", type=int, default=1,
+                    help="resume eval table from this checkpoint index")
     args = ap.parse_args()
 
     from jodo_tpu import run_lib
@@ -59,9 +66,14 @@ def main():
     if not args.skip_train:
         run_lib.train(cfg, args.workdir)
 
+    if args.eval_method == "fast":
+        cfg.sampling.method = "fast"
+        cfg.sampling.steps = 50
+        cfg.sampling.dpm_solver_order = 3
+
     n_ckpts = args.n_iters // args.snapshot_freq
     rows = []
-    for ck in range(1, n_ckpts + 1):
+    for ck in range(args.first_ckpt, n_ckpts + 1):
         cfg.eval.ckpts = str(ck)
         try:
             res = run_lib.evaluate(cfg, args.workdir, eval_folder="eval_2d")
