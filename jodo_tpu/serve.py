@@ -9,6 +9,12 @@ and serve generation requests over HTTP.
 
 API:
   GET  /health            -> {"status":"ok","model":...,"device":...}
+  POST /warmup            body: {"n_samples": 32, "seed": 0}
+       -> AOT-compiles the (pad, batch) programs that request shape
+          needs (no chain execution); later /sample calls with the same
+          shape pay zero compile latency
+       -> {"programs": [[pad, batch]...], "compiled": k, "cached": m,
+           "rounds": [[pad, batch]...], "elapsed_sec": ...}
   POST /sample            body: {"n_samples": 32, "seed": 0}
        -> {"molecules": [{"atoms": [...symbols...], "positions": [[x,y,z]..],
             "bonds": [[i,j,order]...], "formal_charges": [...]}, ...],
@@ -59,6 +65,21 @@ class SamplingService:
         )
         self.device = str(jax.devices()[0])
 
+    def warmup(self, n_samples: int, seed: int = 0):
+        """AOT-compile every (pad, batch) program the request shape needs
+        (fn.warm, generate.py): a later /sample with the same shape pays
+        zero compile latency. Executables persist in _round_fns across
+        requests."""
+        with self._lock:
+            fn = self._make_fn(n_samples)
+            report = fn.warm(self._params, seed=seed)
+        return {
+            "programs": [list(p) for p in report["programs"]],
+            "compiled": len(report["compiled"]),
+            "cached": len(report["cached"]),
+            "rounds": [list(r) for r in report["rounds"]],
+        }
+
     def sample(self, n_samples: int, seed: int = 0):
         with self._lock:
             fn = self._make_fn(n_samples)
@@ -104,7 +125,7 @@ def make_handler(service: SamplingService, model_name: str):
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path != "/sample":
+            if self.path not in ("/sample", "/warmup"):
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
             try:
@@ -118,6 +139,11 @@ def make_handler(service: SamplingService, model_name: str):
                 self._json(400, {"error": str(exc)})
                 return
             t0 = time.perf_counter()
+            if self.path == "/warmup":
+                report = service.warmup(n, seed)
+                report["elapsed_sec"] = round(time.perf_counter() - t0, 4)
+                self._json(200, report)
+                return
             mols = service.sample(n, seed)
             self._json(200, {
                 "molecules": mols,

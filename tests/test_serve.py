@@ -116,3 +116,22 @@ def test_no_retrace_across_requests(monkeypatch):
     svc.sample(8, seed=2)
     # no new compilations beyond buckets already built in the first call
     assert len(calls) <= n_after_first + 1  # a new bucket may legitimately appear
+
+
+def test_warmup_endpoint(server):
+    """POST /warmup AOT-compiles the request shape's programs; the
+    following /sample with the same (n_samples, seed) reuses them
+    (zero in-call builds — the serving analog of the bench's
+    compiles_in_window contract)."""
+    code, body = _post(server + "/warmup", {"n_samples": 6, "seed": 3})
+    assert code == 200
+    # earlier tests in this module may have already built the shared
+    # program — covered (compiled now or cached from before) is what
+    # the endpoint guarantees
+    assert body["compiled"] + body["cached"] >= 1 and body["programs"]
+    assert body["elapsed_sec"] > 0
+    # warm again: everything cached
+    code, body2 = _post(server + "/warmup", {"n_samples": 6, "seed": 3})
+    assert code == 200 and body2["compiled"] == 0
+    code, out = _post(server + "/sample", {"n_samples": 6, "seed": 3})
+    assert code == 200 and len(out["molecules"]) == 6
