@@ -366,21 +366,29 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
                 return pad, b
         return None if k_steps is None else (None, None)
 
-    def _dispatch_multi(st, batch, sub):
+    def _dispatch(step_fn, st, batch, sub):
+        # one AOT executable per chunk signature; k=1 single-step chunks
+        # (the s=0 boundary-realign chunk) go through the same cache so
+        # the warmup below can pre-compile them — a lazy in-loop k=1
+        # compile of a big-batch program consumed an entire 480 s wall
+        # budget before the first real chunk ran (r5 GEOM A/B incident)
         if not _aot_ok[0]:
-            return multi_train_step(st, batch, sub)
+            return step_fn(st, batch, sub)
         sig = _chunk_sig(batch)
         comp = _exec_cache.get(sig)
         try:
             if comp is None:
-                comp = multi_train_step.lower(st, batch, sub).compile()
+                comp = step_fn.lower(st, batch, sub).compile()
                 _exec_cache[sig] = comp
             return comp(st, batch, sub)
         except Exception:
             logging.exception(
                 "AOT train dispatch failed; falling back to jit path")
             _aot_ok[0] = False
-            return multi_train_step(st, batch, sub)
+            return step_fn(st, batch, sub)
+
+    def _dispatch_multi(st, batch, sub):
+        return _dispatch(multi_train_step, st, batch, sub)
 
     chunk_q: _queue.Queue = _queue.Queue(maxsize=2)
     use_prefetch = multi_train_step is not None
@@ -434,7 +442,11 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
         # steady-state window honest (a misaligned preempt freq produces
         # sizes like 21/11 that appear once per cycle)
         sched = _sched_sizes()
-        warm_sizes = sorted(k for k in sched if k > 1)
+        # k=1 chunks (the s=0 realign + any freq-collision singles) are
+        # warmed too: they dispatch through the same AOT cache, and a
+        # lazy in-loop k=1 compile can eat minutes before the first
+        # timed/budgeted chunk (r5 GEOM A/B incident)
+        warm_sizes = sorted(sched)
         t_warm = time.perf_counter()
         w_key = jax.random.split(key)[1]  # aval twin of the loop's subkeys
         for k_w in warm_sizes:
@@ -443,12 +455,13 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
                  for p in parts["loader"].pads]
                 if bucketed else [_make_chunk(k_w)]
             )
+            step_jit = train_step if k_w == 1 else multi_train_step
             for host_chunk in warm_chunks:
                 dev = _to_device(k_w, host_chunk)
                 sig = _chunk_sig(dev)
                 if sig not in _exec_cache:
                     _exec_cache[sig] = (
-                        multi_train_step.lower(state, dev, w_key).compile())
+                        step_jit.lower(state, dev, w_key).compile())
         if warm_sizes:
             logging.info("compile warmup: %d program(s) in %.1fs",
                          len(_exec_cache), time.perf_counter() - t_warm)
@@ -494,8 +507,10 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
                                  n_iters - step + 1))
             batch = _to_device(k_steps, _make_chunk(k_steps))
         key, sub = jax.random.split(key)
-        if k_steps == 1 or multi_train_step is None:
+        if multi_train_step is None:
             state, metrics = train_step(state, batch, sub)
+        elif k_steps == 1:
+            state, metrics = _dispatch(train_step, state, batch, sub)
         else:
             state, metrics = _dispatch_multi(state, batch, sub)
         _pad, _b = _chunk_pad(batch, k_steps)

@@ -381,10 +381,12 @@ def make_sampling_fn(
             compiled[sig] = _build(pad, b_round, params, n_nodes, context)
         try:
             return compiled[sig](params, sub, jnp.asarray(n_nodes), context)
-        except TypeError:
-            # params aval changed since the executable was built (e.g.
-            # EMA vs raw dtype swap): fall back to the shape-polymorphic
-            # jit — counts as an in-window compile, which is honest
+        except (TypeError, ValueError):
+            # the AOT executable is stricter than jit: params aval drift
+            # (TypeError: EMA vs raw dtype swap) or committed-sharding
+            # mismatch under a mesh (ValueError: jit auto-reshards,
+            # compiled does not). Fall back to the shape-polymorphic jit
+            # — counts as an in-window compile, which is honest
             stats["compiles_last_call"] += 1
             del compiled[sig]
             return get_round_fn(pad)(params, sub, jnp.asarray(n_nodes),
