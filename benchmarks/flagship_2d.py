@@ -50,10 +50,10 @@ def main():
     ap.add_argument("--workdir", default="runs/zinc_2d_flagship")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--eval-method", default="ancestral",
-                    choices=["ancestral", "fast"],
-                    help="fast = DPM-Solver@50 per checkpoint: ~20x "
-                         "cheaper evals, affording more checkpoints on "
-                         "long continuations (r5)")
+                    choices=["ancestral"],
+                    help="2D sampling is ancestral-only (the DPM-Solver "
+                         "hybrid is joint-3D-only, reference parity); "
+                         "flag kept for CLI stability")
     ap.add_argument("--first-ckpt", type=int, default=1,
                     help="resume eval table from this checkpoint index")
     args = ap.parse_args()
@@ -65,11 +65,6 @@ def main():
 
     if not args.skip_train:
         run_lib.train(cfg, args.workdir)
-
-    if args.eval_method == "fast":
-        cfg.sampling.method = "fast"
-        cfg.sampling.steps = 50
-        cfg.sampling.dpm_solver_order = 3
 
     n_ckpts = args.n_iters // args.snapshot_freq
     rows = []

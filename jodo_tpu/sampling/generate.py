@@ -88,6 +88,13 @@ def make_round_fn(config, schedule, model, pad_n: int, eps: float = 1e-3,
 
     model = _model_for_pad(config, model, pad_n)
 
+    if only_2d and method == "fast":
+        # reference parity: mix_dpm_solver.py is joint-(pos,node,edge)
+        # only; the 2D exp_types sample ancestrally (sampling.py:518-660)
+        raise ValueError(
+            "2D sampling supports method='ancestral' only "
+            "(the DPM-Solver hybrid is joint-3D-only, as in the "
+            "reference)")
     if method == "ancestral":
         coeffs = AncestralCoeffs.create(schedule, steps, pred_data, eps)
     elif method == "fast":
