@@ -34,7 +34,11 @@ def geom_uncond_jodo():
     c.model.loss_weights = "1, 0.25, 0.1"
     c.training.batch_size = 16
     c.training.bucket_pads = "48,64,96,128"  # typical GEOM mol ~44 atoms; flat pad 184 wastes ~94% of pair FLOPs
-    c.training.bucket_batch_scale = 8.0  # pad-48 batches carry 128 mols at the pad-184 pair budget
+    # bucket_batch_scale stays 1.0 (reference batch-16 protocol): the r5
+    # equal-wall-clock A/B (benchmarks/geom_quality_ab.py, BASELINE r5)
+    # measured scale 8 at 7x fewer optimizer steps for only 1.44x the
+    # data throughput — 3D atom stability 0.33 vs 0.71 at equal minutes.
+    # Set 8.0 explicitly for data-ingest throughput benchmarking only.
     c.training.eval_batch_size = 16
     c.optim.grad_clip = 20.0
     c.eval.batch_size = 1000
@@ -149,7 +153,7 @@ def geom_2d_cdgs():
     c.optim.grad_clip = 20.0
     c.training.batch_size = 16
     c.training.bucket_pads = "48,64,96,128"  # typical GEOM mol ~44 atoms; flat pad 184 wastes ~94% of pair FLOPs
-    c.training.bucket_batch_scale = 8.0  # pad-48 batches carry 128 mols at the pad-184 pair budget
+    # bucket_batch_scale 1.0 — see geom_uncond_jodo note (r5 A/B)
     c.training.eval_batch_size = 16
     c.eval.batch_size = 200
     c.eval.begin_ckpt = 20
