@@ -370,15 +370,43 @@ def make_sampling_fn(
             return None
         return jnp.asarray(prop_dist.sample_batch(n_nodes))
 
+    def _sig_string(pad, b_round, params, context):
+        try:
+            cfg_s = config.to_json_best_effort(sort_keys=True)
+        except Exception:
+            cfg_s = str(config)
+        avals = jax.tree.map(lambda x: (tuple(x.shape), str(x.dtype)),
+                             params)
+        ctx = (None if context is None
+               else (tuple(context.shape), str(context.dtype)))
+        return (f"{cfg_s}|pad={pad}|b={b_round}|ctx={ctx}|"
+                f"avals={avals}|shards={n_shards}")
+
     def _build(pad, b_round, params, n_nodes, context):
         rf = get_round_fn(pad)
         jitted = getattr(rf, "jitted", rf)
         key0 = jax.random.split(jax.random.PRNGKey(0))[1]
-        exe = jitted.lower(
-            params, key0, jnp.asarray(n_nodes), context
-        ).compile()
+        args = (params, key0, jnp.asarray(n_nodes), context)
         stats["programs_built"] += 1
-        return exe
+        if mesh is None:
+            # exported-program vault: a later process skips the 20-25 s
+            # trace+lower of this chain program (runtime/program_vault.py;
+            # the persistent XLA cache then makes the compile a cheap
+            # deserialize). Mesh-sharded programs are not vaulted.
+            from ..runtime.program_vault import (
+                vault_enabled, vault_key, vault_load, vault_store)
+
+            if vault_enabled():
+                from jax import export as jexport
+
+                vkey = vault_key(
+                    "round", _sig_string(pad, b_round, params, context))
+                exp = vault_load(vkey)
+                if exp is None:
+                    exp = jexport.export(jitted)(*args)
+                    vault_store(vkey, exp)
+                return jax.jit(exp.call).lower(*args).compile()
+        return jitted.lower(*args).compile()
 
     def _call_round(params, sub, pad, b_round, n_nodes, context):
         sig = (pad, b_round,
