@@ -366,6 +366,33 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
                 return pad, b
         return None if k_steps is None else (None, None)
 
+    def _aot_compile(step_fn, st, batch, sub):
+        """lower+compile one chunk program, via the exported-program
+        vault when possible: a later process skips the 40-100 s fwd+bwd
+        re-trace of each train program (runtime/program_vault.py; the
+        persistent XLA cache then turns the compile into a cheap
+        deserialize). Donation semantics survive export (r5 spike)."""
+        from .runtime.program_vault import (
+            vault_enabled, vault_key, vault_load, vault_store)
+
+        if mesh is not None or not vault_enabled():
+            return step_fn.lower(st, batch, sub).compile()
+        from jax import export as jexport
+
+        try:
+            cfg_s = config.to_json_best_effort(sort_keys=True)
+        except Exception:
+            cfg_s = str(config)
+        aval = lambda x: (tuple(getattr(x, "shape", ())),
+                          str(getattr(x, "dtype", type(x).__name__)))
+        vkey = vault_key(
+            "train", f"{cfg_s}|{jax.tree.map(aval, (st, batch))}")
+        exp = vault_load(vkey)
+        if exp is None:
+            exp = jexport.export(step_fn)(st, batch, sub)
+            vault_store(vkey, exp)
+        return jax.jit(exp.call).lower(st, batch, sub).compile()
+
     def _dispatch(step_fn, st, batch, sub):
         # one AOT executable per chunk signature; k=1 single-step chunks
         # (the s=0 boundary-realign chunk) go through the same cache so
@@ -378,7 +405,7 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
         comp = _exec_cache.get(sig)
         try:
             if comp is None:
-                comp = step_fn.lower(st, batch, sub).compile()
+                comp = _aot_compile(step_fn, st, batch, sub)
                 _exec_cache[sig] = comp
             return comp(st, batch, sub)
         except Exception:
@@ -460,8 +487,8 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
                 dev = _to_device(k_w, host_chunk)
                 sig = _chunk_sig(dev)
                 if sig not in _exec_cache:
-                    _exec_cache[sig] = (
-                        step_jit.lower(state, dev, w_key).compile())
+                    _exec_cache[sig] = _aot_compile(
+                        step_jit, state, dev, w_key)
         if warm_sizes:
             logging.info("compile warmup: %d program(s) in %.1fs",
                          len(_exec_cache), time.perf_counter() - t_warm)
