@@ -199,13 +199,14 @@ def _measure_train_real(cfg_name, batch, pad_n, n_iters=768, spd=32):
     cfg.tpu.donate_state = True
     cfg.training.steps_per_dispatch = spd
     cfg.training.n_iters = n_iters
-    # a loss fetch every OTHER dispatch chunk: without any mid-loop
-    # value fetch the StepTimer measures async SUBMISSION intervals, not
-    # device time — r5 bisect read 100 it/s (producer-rate flooding) and
-    # 9.9 it/s (deserialize stalls queued behind submissions) for the
-    # SAME ~30 it/s loop. A fetch synchronises the pipeline while still
-    # overlapping chunk k+1's host work with chunk k's device work.
-    cfg.training.log_freq = 2 * spd
+    # a loss fetch EVERY dispatch chunk: without mid-loop value fetches
+    # the StepTimer measures async SUBMISSION intervals, not device time
+    # — r5 bisect read 100 it/s (producer-rate flooding) and 9.9 it/s
+    # (deserialize stalls queued behind submissions) for the SAME ~30
+    # it/s loop, and even every-other-chunk fetches read 48 it/s once
+    # the vault's jit(exp.call) wrapper deepened the dispatch pipeline.
+    # The per-fetch cost (~10 ms on a ~1 s chunk) is the honest price.
+    cfg.training.log_freq = spd
     cfg.training.snapshot_freq = 10 ** 9
     # preemption checkpointing stays at the PRODUCTION cadence (config
     # default 10000 steps ~ one async save per 5+ min): the r4 block

@@ -389,6 +389,14 @@ def run_train_loop(config, workdir: str, parts=None, num_steps: Optional[int] = 
             "train", f"{cfg_s}|{jax.tree.map(aval, (st, batch))}")
         exp = vault_load(vkey)
         if exp is None:
+            # cold-vault: exporting a fwd+bwd program costs ~2x a plain
+            # compile (the export trace+serialize of the backward is
+            # heavy), so train-program exports are written only by an
+            # explicit priming run (JODO_VAULT_WRITE_TRAIN=1, e.g. the
+            # repo's end-of-round bench priming); cold runs pay exactly
+            # the pre-vault cost
+            if os.environ.get("JODO_VAULT_WRITE_TRAIN", "0") != "1":
+                return step_fn.lower(st, batch, sub).compile()
             exp = jexport.export(step_fn)(st, batch, sub)
             vault_store(vkey, exp)
         return jax.jit(exp.call).lower(st, batch, sub).compile()
